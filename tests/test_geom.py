@@ -203,3 +203,30 @@ class TestSE3:
         f = jax.jit(lambda T: geom.se3_log(geom.compose(T, geom.inverse(T[0]))))
         out = f(T)
         assert out.shape == (8, 6)
+
+
+class TestHostMathParity:
+    """Numpy host mirrors must agree with the jax geom implementations."""
+
+    def test_quat_rot_mirror(self, rng):
+        from lidar_slam_arvc_tpu.geom import hostmath as hm
+        R = random_rotations(rng)
+        q_np = hm.rot_to_quat_np(R)
+        q_jx = np.asarray(geom.rot_to_quat(jnp.asarray(R)))
+        dot = np.abs(np.sum(q_np * q_jx, axis=1))
+        np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+        np.testing.assert_allclose(hm.quat_to_rot_np(q_np), R, atol=1e-9)
+
+    def test_pose_columns_mirror(self, rng):
+        from lidar_slam_arvc_tpu.geom import hostmath as hm
+        T = random_transforms(rng, 8)
+        xyz, q = hm.pose_columns_from_transforms_np(T)
+        T2 = hm.transforms_from_pose_columns_np(xyz, q)
+        np.testing.assert_allclose(T2, T, atol=1e-9)
+
+    def test_yaw_mirror(self, rng):
+        from lidar_slam_arvc_tpu.geom import hostmath as hm
+        abg = rng.uniform(-1.2, 1.2, size=(32, 3))
+        R = np.asarray(geom.euler_to_rot(jnp.asarray(abg)))
+        q = hm.rot_to_quat_np(R)
+        np.testing.assert_allclose(hm.quat_to_yaw_np(q), abg[:, 2], atol=1e-5)
