@@ -1,0 +1,55 @@
+"""Normal estimation from ball-neighborhood covariance.
+
+Replaces Open3D's C++ ``estimate_normals`` with
+``KDTreeSearchParamHybrid(radius, max_nn)`` (reference keyframe.py:160-162,
+184-189): per point, the normal is the smallest-eigenvalue eigenvector of
+the covariance of neighbors within ``radius``.
+
+TPU formulation: neighbor moments (count, sum, sum of outer products) come
+from three masked matmuls (ops.radius_accumulate) — no neighbor lists — and
+the eigenvector from a closed-form symmetric 3x3 solve on the VPU.  The
+reference's ``max_nn`` cap (300) is not applied: at the radii used
+(0.3-0.5 m on voxelized scans) neighborhoods are far below the cap, where
+the cap exists only to bound KD-tree query cost.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu.cloud.cloud import Cloud
+from lidar_slam_arvc_tpu.ops import radius_accumulate, smallest_eigenvector_sym3
+
+
+def estimate_normals(cloud: Cloud, radius: float) -> Cloud:
+    """Returns the cloud with unit ``normals`` filled for valid points.
+
+    Points with fewer than 3 ball neighbors (including self) get +z, like
+    Open3D's degenerate fallback.
+    """
+    count, s1, s2 = radius_accumulate(
+        cloud.points, cloud.points, cloud.mask, radius)
+    n = jnp.maximum(count, 1.0)
+    mean = s1 / n[:, None]
+    # covariance from upper-triangular second moments (xx,xy,xz,yy,yz,zz)
+    xx, xy, xz, yy, yz, zz = (s2[:, 0], s2[:, 1], s2[:, 2],
+                              s2[:, 3], s2[:, 4], s2[:, 5])
+    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    c00 = xx / n - mx * mx
+    c01 = xy / n - mx * my
+    c02 = xz / n - mx * mz
+    c11 = yy / n - my * my
+    c12 = yz / n - my * mz
+    c22 = zz / n - mz * mz
+    cov = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c01, c11, c12], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+
+    normals = smallest_eigenvector_sym3(cov)
+    degenerate = (count < 3.0)[:, None]
+    ez = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=normals.dtype),
+                          normals.shape)
+    normals = jnp.where(degenerate, ez, normals)
+    return Cloud(points=cloud.points, mask=cloud.mask, normals=normals)

@@ -1,0 +1,201 @@
+"""Cloud ops + low-level kernels vs numpy/scipy oracles."""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+import jax
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu import cloud as cl
+from lidar_slam_arvc_tpu.ops import (
+    eigvals_sym3, nn_search, radius_accumulate, smallest_eigenvector_sym3,
+)
+
+
+class TestEigh3:
+    def test_eigvals_match_numpy(self, rng):
+        A = rng.normal(size=(128, 3, 3))
+        A = A + np.swapaxes(A, 1, 2)
+        got = np.asarray(eigvals_sym3(jnp.asarray(A)))
+        expected = np.linalg.eigvalsh(A)
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    def test_smallest_eigenvector(self, rng):
+        A = rng.normal(size=(64, 3, 3))
+        A = A @ np.swapaxes(A, 1, 2)  # PSD with distinct eigvals (generic)
+        v = np.asarray(smallest_eigenvector_sym3(jnp.asarray(A)))
+        w, V = np.linalg.eigh(A)
+        v_ref = V[:, :, 0]
+        dots = np.abs(np.sum(v * v_ref, axis=1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+    def test_isotropic(self):
+        A = jnp.eye(3)[None] * 2.5
+        v = np.asarray(smallest_eigenvector_sym3(A))
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-6)
+
+    def test_planar_covariance(self, rng):
+        # points on z=0 plane -> smallest eigenvector is +-z
+        pts = rng.normal(size=(500, 3))
+        pts[:, 2] = 0
+        cov = np.cov(pts.T)
+        v = np.asarray(smallest_eigenvector_sym3(jnp.asarray(cov)))
+        np.testing.assert_allclose(abs(v[2]), 1.0, atol=1e-5)
+
+
+class TestNNSearch:
+    def test_matches_kdtree(self, rng):
+        src = rng.normal(size=(300, 3)).astype(np.float32) * 10
+        tgt = rng.normal(size=(500, 3)).astype(np.float32) * 10
+        idx, d2 = nn_search(jnp.asarray(src), jnp.asarray(tgt),
+                            jnp.ones(500, dtype=bool),
+                            src_block=128, tgt_block=128)
+        tree = cKDTree(tgt)
+        d_ref, i_ref = tree.query(src)
+        np.testing.assert_array_equal(np.asarray(idx), i_ref)
+        np.testing.assert_allclose(np.sqrt(np.asarray(d2)), d_ref, atol=1e-3)
+
+    def test_masked_targets_excluded(self, rng):
+        src = np.zeros((1, 3), dtype=np.float32)
+        tgt = np.array([[0.01, 0, 0], [5, 0, 0]], dtype=np.float32)
+        mask = np.array([False, True])
+        idx, d2 = nn_search(jnp.asarray(src), jnp.asarray(tgt),
+                            jnp.asarray(mask), src_block=8, tgt_block=8)
+        assert int(idx[0]) == 1
+        np.testing.assert_allclose(float(d2[0]), 25.0, atol=1e-4)
+
+    def test_non_multiple_sizes(self, rng):
+        # sizes that don't divide the blocks exercise padding
+        src = rng.normal(size=(77, 3)).astype(np.float32)
+        tgt = rng.normal(size=(131, 3)).astype(np.float32)
+        idx, d2 = nn_search(jnp.asarray(src), jnp.asarray(tgt),
+                            jnp.ones(131, dtype=bool),
+                            src_block=32, tgt_block=64)
+        tree = cKDTree(tgt)
+        _, i_ref = tree.query(src)
+        np.testing.assert_array_equal(np.asarray(idx), i_ref)
+
+
+class TestRadiusAccumulate:
+    def test_matches_bruteforce(self, rng):
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        r = 0.7
+        count, s1, s2 = radius_accumulate(
+            jnp.asarray(pts), jnp.asarray(pts), jnp.ones(200, dtype=bool),
+            r, query_block=64, tgt_block=64)
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        w = d2 <= r * r
+        np.testing.assert_allclose(np.asarray(count), w.sum(1), atol=0.5)
+        s1_ref = w @ pts
+        np.testing.assert_allclose(np.asarray(s1), s1_ref, atol=1e-3)
+
+
+class TestCloud:
+    def test_from_numpy_pads(self, rng):
+        pts = rng.normal(size=(10, 3))
+        c = cl.from_numpy(pts, capacity=16)
+        assert c.points.shape == (16, 3)
+        assert int(cl.num_valid(c)) == 10
+        np.testing.assert_allclose(cl.to_numpy(c), pts, atol=1e-6)
+
+    def test_from_numpy_truncates_uniformly(self, rng):
+        pts = np.arange(100, dtype=np.float32)[:, None] * np.ones(3)
+        c = cl.from_numpy(pts, capacity=10)
+        out = cl.to_numpy(c)
+        assert out.shape == (10, 3)
+        assert out[0, 0] == 0 and out[-1, 0] == 99  # spans the whole scan
+
+    def test_crop_radius_height(self):
+        pts = np.array([
+            [0.1, 0, 0],     # inside min radius -> dropped
+            [5, 0, 0],       # kept
+            [50, 0, 0],      # outside max radius -> dropped
+            [5, 0, -2],      # below min height -> dropped
+            [5, 0, 60],      # above max height -> dropped
+        ], dtype=np.float32)
+        c = cl.from_numpy(pts, capacity=8)
+        out = cl.crop_radius_height(c, 0.5, 35.0, -1.0, 50.0)
+        np.testing.assert_array_equal(
+            np.asarray(out.mask)[:5], [False, True, False, False, False])
+
+
+class TestVoxelDownsample:
+    def test_centroids(self, rng):
+        # two tight clusters at voxel centers -> two voxels at cluster means
+        # (the min corner lands near cluster a, so +0.5 keeps each cluster
+        # strictly inside one 1m voxel)
+        a = rng.normal(scale=0.01, size=(50, 3)) + [0.0, 0.0, 0.0]
+        b = rng.normal(scale=0.01, size=(50, 3)) + [5.5, 5.5, 5.5]
+        pts = np.concatenate([a, b]).astype(np.float32)
+        c = cl.from_numpy(pts, capacity=128)
+        out = cl.voxel_downsample(c, voxel_size=1.0, out_capacity=16)
+        got = cl.to_numpy(out)
+        assert got.shape[0] == 2
+        got = got[np.argsort(got[:, 0])]
+        np.testing.assert_allclose(got[0], a.mean(0), atol=1e-4)
+        np.testing.assert_allclose(got[1], b.mean(0), atol=1e-4)
+
+    def test_count_matches_grid(self, rng):
+        pts = (rng.uniform(0, 10, size=(2000, 3))).astype(np.float32)
+        c = cl.from_numpy(pts, capacity=2048)
+        out = cl.voxel_downsample(c, voxel_size=1.0)
+        # oracle voxel count with same min-corner convention
+        mins = pts.min(0)
+        keys = np.unique(np.floor((pts - mins) / 1.0).astype(int) @ [10**6, 10**3, 1])
+        assert int(cl.num_valid(out)) == len(keys)
+
+    def test_idempotent_when_sparse(self, rng):
+        # points further apart than the voxel never merge
+        pts = (np.arange(20)[:, None] * np.array([2.0, 0, 0])).astype(np.float32)
+        c = cl.from_numpy(pts, capacity=32)
+        out = cl.voxel_downsample(c, voxel_size=1.0)
+        assert int(cl.num_valid(out)) == 20
+        np.testing.assert_allclose(
+            np.sort(cl.to_numpy(out)[:, 0]), pts[:, 0], atol=1e-5)
+
+
+class TestNormals:
+    def test_plane_normals(self, rng):
+        # noisy ground plane -> normals ~ +-z
+        pts = rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
+        pts[:, 2] = 0.001 * rng.normal(size=2000)
+        c = cl.from_numpy(pts, capacity=2048)
+        c = cl.estimate_normals(c, radius=0.8)
+        nz = np.abs(np.asarray(c.normals)[np.asarray(c.mask), 2])
+        assert (nz > 0.99).mean() > 0.95
+
+    def test_sphere_normals_radial(self, rng):
+        # points on a sphere -> normal parallel to radial direction
+        v = rng.normal(size=(4000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = (10.0 * v).astype(np.float32)
+        c = cl.from_numpy(pts, capacity=4096)
+        c = cl.estimate_normals(c, radius=1.5)
+        n = np.asarray(c.normals)[np.asarray(c.mask)]
+        p = cl.to_numpy(c)
+        r = p / np.linalg.norm(p, axis=1, keepdims=True)
+        align = np.abs(np.sum(n * r, axis=1))
+        assert np.median(align) > 0.98
+
+
+class TestGroundPlane:
+    def test_recovers_synthetic_ground(self, rng):
+        ground = rng.uniform(-10, 10, size=(1000, 3)).astype(np.float32)
+        ground[:, 2] = -1.0 + 0.003 * rng.normal(size=1000)
+        walls = rng.uniform(-10, 10, size=(500, 3)).astype(np.float32)
+        walls[:, 2] = rng.uniform(0, 3, size=500)
+        pts = np.concatenate([ground, walls])
+        c = cl.from_numpy(pts, capacity=2048)
+        plane = np.asarray(cl.ransac_ground_plane(
+            c, jax.random.PRNGKey(0), seed_height=-0.5))
+        # plane should be ~ z = -1: normal ~ +-(0,0,1), d ~ +-1
+        nz = abs(plane[2])
+        assert nz > 0.999
+        z0 = -plane[3] / plane[2]
+        assert abs(z0 - (-1.0)) < 0.02
+
+        g, ng = cl.split_by_plane(c, jnp.asarray(plane), 0.4)
+        gmask = np.asarray(g.mask)
+        assert gmask[:1000].mean() > 0.95      # ground captured
+        assert np.asarray(ng.mask)[1000:1500].mean() > 0.9  # walls kept out
