@@ -1,0 +1,177 @@
+"""ICP on SE(3): point-to-point, point-to-plane, and the two-planes fusion.
+
+Replaces Open3D's C++ ``registration_icp`` (reference keyframe.py:231-295).
+Direction convention matches the reference: ``icp(src=cloud_j, tgt=cloud_i,
+T_init=T_ij)`` returns the refined T_i_j that maps points of scan j into
+scan i's frame (reference keyframemanager.py:52-75, "aTb").
+
+TPU-native structure (one fused jitted program per pair, batchable by vmap):
+  * correspondences from the exact tiled MXU nearest-neighbor sweep
+    (ops.nn_search) gated by ``max_correspondence_distance`` (10 m —
+    reference config/icp_parameters.yaml:20-22),
+  * a Gauss-Newton step on the se(3) left perturbation per iteration; the
+    6x6 normal equations are built as (6,N)x(N,6) matmuls,
+  * a fixed iteration count under ``lax.fori_loop`` (static shapes; no
+    data-dependent trip counts) — Open3D's default criteria stop early at
+    30 iterations, we simply always run ``max_iterations``.
+
+Residuals/Jacobians (xi = [w, v], T' = exp(xi) T):
+  point-to-plane: r = n . (p' - q),      J = [p' x n, n]
+  point-to-point: r = p' - q (3-vec),    J = [-[p']_x, I3]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu import geom
+from lidar_slam_arvc_tpu.cloud import Cloud
+from lidar_slam_arvc_tpu.ops import nn_search
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class ICPParams(NamedTuple):
+    max_correspondence_distance: float = 10.0
+    max_iterations: int = 30
+    src_block: int = 1024
+    tgt_block: int = 2048
+
+
+class ICPResult(NamedTuple):
+    transform: jax.Array      # (4,4) refined T mapping src into tgt frame
+    fitness: jax.Array        # inlier fraction of valid source points
+    inlier_rmse: jax.Array    # RMSE over inlier correspondences
+
+
+def _gn_step_point_to_plane(p, n_corr, q, w):
+    """(H, b) for point-to-plane residuals; w gates invalid correspondences."""
+    r = jnp.sum(n_corr * (p - q), axis=-1)
+    Jw = jnp.cross(p, n_corr)
+    J = jnp.concatenate([Jw, n_corr], axis=-1)  # (N, 6)
+    Jw_ = J * w[:, None]
+    H = jnp.dot(Jw_.T, J, precision=_HI)
+    b = -jnp.dot(Jw_.T, r, precision=_HI)
+    return H, b, r
+
+
+def _gn_step_point_to_point(p, q, w):
+    """(H, b) for 3-vector point-to-point residuals."""
+    r = p - q  # (N, 3)
+    # J_i = [-[p]_x | I]; accumulate H = sum J^T J, b = -sum J^T r in closed
+    # form to avoid materializing (N, 3, 6).
+    px = geom.so3_hat(p)                       # (N,3,3) = [p]_x
+    # J^T r: rotation part = [p]_x r (since (-[p]_x)^T r = [p]_x r),
+    # translation part = r
+    w1 = w[:, None]
+    bw = -jnp.sum(jnp.einsum("nij,nj->ni", px, r, precision=_HI) * w1, axis=0)
+    bv = -jnp.sum(r * w1, axis=0)
+    # H blocks: Hww = sum [p]_x^T [p]_x = -sum [p]_x [p]_x,
+    #           Hwv = sum (-[p]_x)^T = sum [p]_x, Hvv = sum(w) I
+    pxw = px * w[:, None, None]
+    Hww = -jnp.einsum("nij,njk->ik", pxw, px, precision=_HI)
+    Hwv = jnp.sum(pxw, axis=0)
+    n_eff = jnp.sum(w)
+    Hvv = n_eff * jnp.eye(3, dtype=p.dtype)
+    H = jnp.block([[Hww, Hwv], [Hwv.T, Hvv]])
+    b = jnp.concatenate([bw, bv])
+    rnorm = jnp.linalg.norm(r, axis=-1)
+    return H, b, rnorm
+
+
+@functools.partial(jax.jit, static_argnames=("params", "method"))
+def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
+        params: ICPParams = ICPParams(),
+        method: str = "point_to_plane") -> ICPResult:
+    """Refine T_init so that T @ src aligns with tgt.
+
+    For 'point_to_plane' the target must carry ``normals``
+    (cloud.estimate_normals), matching the reference's preprocessing
+    (keyframe.py:156-162).
+    """
+    if method == "point_to_plane" and tgt.normals is None:
+        raise ValueError("point_to_plane ICP needs target normals")
+
+    thr2 = params.max_correspondence_distance ** 2
+    src_pts = src.points
+    src_mask_f = src.mask.astype(src_pts.dtype)
+    tgt_normals = tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.points)
+
+    def body(_, T):
+        p = geom.transform_points(T, src_pts)
+        idx, d2 = nn_search(p, tgt.points, tgt.mask,
+                            src_block=params.src_block,
+                            tgt_block=params.tgt_block)
+        w = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
+        q = tgt.points[idx]
+        if method == "point_to_plane":
+            n_corr = tgt_normals[idx]
+            H, b, _ = _gn_step_point_to_plane(p, n_corr, q, w)
+        else:
+            H, b, _ = _gn_step_point_to_point(p, q, w)
+        # Tikhonov floor keeps degenerate geometry (no constraints along an
+        # axis) from blowing up the solve; negligible when well-conditioned.
+        damp = 1e-6 * (jnp.trace(H) / 6.0 + 1.0)
+        xi = jnp.linalg.solve(H + damp * jnp.eye(6, dtype=H.dtype), b)
+        # guard: if the solve produced non-finite values keep T unchanged
+        xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
+        return geom.compose(geom.se3_exp(xi), T)
+
+    T = jax.lax.fori_loop(0, params.max_iterations, body, T_init,
+                          unroll=False)
+
+    # final metrics at the converged transform
+    p = geom.transform_points(T, src_pts)
+    idx, d2 = nn_search(p, tgt.points, tgt.mask,
+                        src_block=params.src_block,
+                        tgt_block=params.tgt_block)
+    inlier = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
+    n_src = jnp.maximum(jnp.sum(src_mask_f), 1.0)
+    n_in = jnp.sum(inlier)
+    fitness = n_in / n_src
+    rmse = jnp.sqrt(jnp.sum(d2 * inlier) / jnp.maximum(n_in, 1.0))
+    return ICPResult(transform=T, fitness=fitness, inlier_rmse=rmse)
+
+
+def icp_batch(src_points, src_masks, tgt_points, tgt_masks, tgt_normals,
+              T_inits, params: ICPParams = ICPParams(),
+              method: str = "point_to_plane"):
+    """vmap of :func:`icp` over a leading batch of scan pairs.
+
+    This is the data-parallel unit the scanmatcher pipeline shards over the
+    device mesh: consecutive (i, i+1) pairs are independent given their
+    odometry seeds (SURVEY.md §2.3).
+    """
+    def one(sp, sm, tp, tm, tn, T0):
+        return icp(Cloud(sp, sm), Cloud(tp, tm, tn), T0, params, method)
+
+    return jax.vmap(one)(src_points, src_masks, tgt_points, tgt_masks,
+                         tgt_normals, T_inits)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def icp_two_planes(src_ground: Cloud, tgt_ground: Cloud,
+                   src_nonground: Cloud, tgt_nonground: Cloud,
+                   T_init: jax.Array,
+                   params: ICPParams = ICPParams()) -> ICPResult:
+    """Two-phase point-to-plane ICP fused per-component.
+
+    Reference keyframe.py:262-295 (local_registration_two_planes): run
+    point-to-plane ICP separately on the ground-plane clouds (solution t1)
+    and the non-ground clouds (t2), then fuse [tx,ty,gamma] from t2 with
+    [tz,alpha,beta] from t1 — the ground constrains height/tilt, the
+    structure constrains planar motion and heading.
+    """
+    res_a = icp(src_ground, tgt_ground, T_init, params, "point_to_plane")
+    res_b = icp(src_nonground, tgt_nonground, T_init, params, "point_to_plane")
+    t1 = geom.t2v(res_a.transform)
+    t2 = geom.t2v(res_b.transform)
+    fused = jnp.stack([t2[0], t2[1], t1[2]])
+    abg = jnp.stack([t1[3], t1[4], t2[5]])
+    T = geom.transform_from_euler(fused, abg)
+    return ICPResult(transform=T, fitness=res_b.fitness,
+                     inlier_rmse=res_b.inlier_rmse)
