@@ -1,0 +1,132 @@
+"""Incremental pose-graph construction with batch re-solve.
+
+API parity with reference graphslam/graphSLAM.py:56-232 (GraphSLAM class):
+``init_graph`` / ``add_edge`` / ``add_gps_factor`` / ``add_initial_estimate``
+/ ``optimize`` / ``get_solution_transforms`` / ``get_solution_transforms_lidar``.
+Factors accumulate in host-side numpy buffers with static capacities; each
+``optimize`` pushes them to the device and runs the batch LM solver (one
+compiled executable for the whole run because capacities are fixed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu.graph.factors import DEFAULT_SIGMAS, FactorData, NoiseSigmas
+from lidar_slam_arvc_tpu.graph.solver import solve_graph
+
+
+class PoseGraph:
+    def __init__(self, T0: np.ndarray | None = None,
+                 T0_gps: np.ndarray | None = None,
+                 max_poses: int = 4096, max_between: int | None = None,
+                 max_gps: int | None = None,
+                 sigmas: NoiseSigmas = DEFAULT_SIGMAS):
+        self.max_poses = max_poses
+        self.max_between = max_between or (4 * max_poses)
+        self.max_gps = max_gps or max_poses
+        self.sigmas = sigmas
+        self.T0 = np.eye(4) if T0 is None else np.asarray(T0, dtype=np.float64)
+        self.T0_gps = (np.eye(4) if T0_gps is None
+                       else np.asarray(T0_gps, dtype=np.float64))
+
+        self.poses = np.tile(np.eye(4, dtype=np.float32), (max_poses, 1, 1))
+        self.n_poses = 0
+
+        self.bt_i = np.zeros(self.max_between, dtype=np.int32)
+        self.bt_j = np.zeros(self.max_between, dtype=np.int32)
+        self.bt_T = np.tile(np.eye(4, dtype=np.float32),
+                            (self.max_between, 1, 1))
+        self.bt_winv = np.zeros((self.max_between, 6), dtype=np.float32)
+        self.n_between = 0
+
+        self.gps_i = np.zeros(self.max_gps, dtype=np.int32)
+        self.gps_z = np.zeros((self.max_gps, 3), dtype=np.float32)
+        self.gps_winv = np.zeros((self.max_gps, 3), dtype=np.float32)
+        self.n_gps = 0
+
+        self.pr_i = np.zeros(1, dtype=np.int32)
+        self.pr_T = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+        self.pr_winv = np.zeros((1, 6), dtype=np.float32)
+        self.n_prior = 0
+
+    # ------------------------------------------------------------ building
+
+    def init_graph(self):
+        """Prior at pose 0 with T0 (reference graphSLAM.py:79-86)."""
+        self.pr_i[0] = 0
+        self.pr_T[0] = self.T0.astype(np.float32)
+        self.pr_winv[0] = 1.0 / self.sigmas.prior
+        self.n_prior = 1
+        self.poses[0] = np.eye(4, dtype=np.float32)
+        self.n_poses = max(self.n_poses, 1)
+
+    def add_edge(self, T_ij: np.ndarray, i: int, j: int, noise_type: str):
+        """Between factor i->j (reference graphSLAM.py:88-91)."""
+        if self.n_between >= self.max_between:
+            raise RuntimeError("between-factor capacity exceeded")
+        sig = {"SM": self.sigmas.sm, "ODO": self.sigmas.odo}[noise_type]
+        k = self.n_between
+        self.bt_i[k] = i
+        self.bt_j[k] = j
+        self.bt_T[k] = np.asarray(T_ij, dtype=np.float32)
+        self.bt_winv[k] = 1.0 / sig
+        self.n_between += 1
+
+    def add_gps_factor(self, utmx: float, utmy: float, altitude: float, i: int):
+        """GPS unary factor (reference graphSLAM.py:93-95)."""
+        if self.n_gps >= self.max_gps:
+            raise RuntimeError("gps-factor capacity exceeded")
+        k = self.n_gps
+        self.gps_i[k] = i
+        self.gps_z[k] = (utmx, utmy, altitude)
+        self.gps_winv[k] = 1.0 / self.sigmas.gps
+        self.n_gps += 1
+
+    def add_initial_estimate(self, T_rel: np.ndarray, k: int):
+        """Pose k seeded by composing pose k-1 with the relative transform
+        (reference graphSLAM.py:97-100)."""
+        self.poses[k] = (self.poses[k - 1].astype(np.float64)
+                         @ np.asarray(T_rel, dtype=np.float64)).astype(np.float32)
+        self.n_poses = max(self.n_poses, k + 1)
+
+    # ----------------------------------------------------------- solving
+
+    def _factor_data(self) -> FactorData:
+        return FactorData(
+            bt_i=jnp.asarray(self.bt_i), bt_j=jnp.asarray(self.bt_j),
+            bt_T=jnp.asarray(self.bt_T), bt_winv=jnp.asarray(self.bt_winv),
+            gps_i=jnp.asarray(self.gps_i), gps_z=jnp.asarray(self.gps_z),
+            gps_winv=jnp.asarray(self.gps_winv),
+            pr_i=jnp.asarray(self.pr_i), pr_T=jnp.asarray(self.pr_T),
+            pr_winv=jnp.asarray(self.pr_winv),
+        )
+
+    def optimize(self, max_iterations: int = 15) -> float:
+        """Batch LM re-solve of the whole graph (replaces isam.update,
+        reference graphSLAM.py:102-105)."""
+        poses, cost = solve_graph(jnp.asarray(self.poses),
+                                  self._factor_data(), self.n_poses,
+                                  max_iterations=max_iterations)
+        self.poses = np.array(poses)  # writable host copy
+        return cost
+
+    # ----------------------------------------------------------- queries
+
+    @property
+    def current_estimate(self) -> np.ndarray:
+        return self.poses[: self.n_poses].astype(np.float64)
+
+    def positions(self) -> np.ndarray:
+        return self.current_estimate[:, :3, 3]
+
+    def get_solution_transforms(self) -> np.ndarray:
+        """(reference graphSLAM.py:214-222)."""
+        return self.current_estimate
+
+    def get_solution_transforms_lidar(self) -> np.ndarray:
+        """Solution re-based into the LiDAR frame: X_i @ T0_gps^-1
+        (reference graphSLAM.py:224-232)."""
+        inv = np.linalg.inv(self.T0_gps)
+        return np.einsum("nij,jk->nik", self.current_estimate, inv)

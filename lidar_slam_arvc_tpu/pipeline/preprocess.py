@@ -1,0 +1,64 @@
+"""Batched scan preprocessing: crop -> voxel downsample -> normals (-> split).
+
+Device-side equivalent of KeyFrame.pre_process's per-method dispatch
+(reference keyframe.py:113-229), restructured as one jitted vmapped program
+over a batch of raw scans.  Instead of lazy per-object Open3D mutations the
+whole batch flows through fixed-shape tensors once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu import cloud as cl
+from lidar_slam_arvc_tpu.utils.config import IcpConfig
+
+
+class PreprocessedScans(NamedTuple):
+    """Stacked preprocessed scans (leading axis = scan index)."""
+    points: jax.Array                    # (N, CAP, 3)
+    mask: jax.Array                      # (N, CAP)
+    normals: jax.Array                   # (N, CAP, 3) — zeros if not needed
+    ground_mask: jax.Array | None = None     # (N, CAP) for icp2planes
+    nonground_mask: jax.Array | None = None  # (N, CAP)
+
+
+def _pre_one(raw_pts, raw_mask, key, cfg: IcpConfig, method: str,
+             voxel_size: float | None):
+    c = cl.Cloud(raw_pts, raw_mask)
+    c = cl.crop_radius_height(c, cfg.min_radius, cfg.max_radius,
+                              cfg.min_height, cfg.max_height)
+    if voxel_size is not None:
+        c = cl.voxel_downsample(c, voxel_size, out_capacity=cfg.capacity)
+    else:
+        # compact to the working capacity without merging: degenerate voxel
+        # grid finer than sensor resolution keeps points intact
+        c = cl.voxel_downsample(c, 0.01, out_capacity=cfg.capacity)
+
+    ground_mask = nonground_mask = None
+    if method in ("icppointplane", "fpfh"):
+        c = cl.estimate_normals(c, cfg.normal_radius)
+    elif method == "icp2planes":
+        c = cl.estimate_normals(c, cfg.normal_radius)
+        plane = cl.ransac_ground_plane(c, key, seed_height=-0.5,
+                                       distance_threshold=0.01,
+                                       num_iterations=1000)
+        g, ng = cl.split_by_plane(c, plane, 0.4)
+        ground_mask, nonground_mask = g.mask, ng.mask
+    normals = c.normals if c.normals is not None else jnp.zeros_like(c.points)
+    return c.points, c.mask, normals, ground_mask, nonground_mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method", "voxel_size"))
+def preprocess_batch(raw_pts, raw_mask, keys, cfg: IcpConfig, method: str,
+                     voxel_size: float | None):
+    """vmap of the per-scan preprocess over a batch of raw scans."""
+    fn = functools.partial(_pre_one, cfg=cfg, method=method,
+                           voxel_size=voxel_size)
+    pts, mask, normals, g, ng = jax.vmap(fn)(raw_pts, raw_mask, keys)
+    return PreprocessedScans(points=pts, mask=mask, normals=normals,
+                             ground_mask=g, nonground_mask=ng)

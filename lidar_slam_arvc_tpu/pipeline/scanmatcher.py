@@ -1,0 +1,212 @@
+"""Stage 1: odometry-seeded sequential scan matching (batched on device).
+
+Pipeline parity with reference run_scanmatcher.py:128-242 (scanmatcher):
+read + time-sample LiDAR scans, associate odometry, seed each consecutive
+pair's ICP with the relative odometry transform, fold the refined relative
+transforms into a global trajectory, and write the three scanmatcher CSVs.
+
+TPU-native restructuring (SURVEY.md §2.3): the reference's sequential
+per-pair loop (run_scanmatcher.py:196-213, one Open3D C++ call per pair)
+becomes (a) batched preprocessing of all scans, (b) batched ICP over
+``batch_size`` independent scan pairs per dispatch — the unit that
+parallel.sharded_icp shards across a device mesh.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu import geom
+from lidar_slam_arvc_tpu.cloud import from_numpy
+from lidar_slam_arvc_tpu.geom.hostmath import transforms_from_pose_columns_np
+from lidar_slam_arvc_tpu.io import EurocDataset, read_pcd, sample_times
+from lidar_slam_arvc_tpu.pipeline.preprocess import preprocess_batch
+from lidar_slam_arvc_tpu.registration import ICPParams, icp_batch, icp_two_planes
+from lidar_slam_arvc_tpu.utils.config import IcpConfig
+
+
+def prepare_experiment_data(euroc: EurocDataset, start_index: int,
+                            delta_time: float):
+    """Scan-time sampling + odometry/GPS association
+    (reference run_scanmatcher.py:101-125)."""
+    df_lidar = euroc.read_csv("/robot0/lidar/data.csv")
+    scan_times = df_lidar["#timestamp [ns]"].to_numpy()
+    scan_times = sample_times(scan_times, start_index=start_index,
+                              delta_time=delta_time * 1e9)
+    df_odo = euroc.read_csv("/robot0/odom/data.csv")
+    odo_times = euroc.get_closest_times(
+        scan_times, df_odo["#timestamp [ns]"].to_numpy())
+    df_odo = euroc.get_df_at_times(df_odo, odo_times)
+    try:
+        df_gps = euroc.read_csv("/robot0/gps0/data.csv")
+        gps_times = euroc.get_closest_times(
+            scan_times, df_gps["#timestamp [ns]"].to_numpy())
+        df_gps = euroc.get_df_at_times(df_gps, gps_times)
+    except FileNotFoundError:
+        gps_times, df_gps = None, None
+    return scan_times, odo_times, gps_times, df_odo, df_gps
+
+
+def relative_odometry(df_odo) -> np.ndarray:
+    """(N-1,4,4) relative transforms from odometry rows
+    (reference run_scanmatcher.py:92-98)."""
+    xyz = df_odo[["x", "y", "z"]].to_numpy(dtype=np.float64)
+    q = df_odo[["qw", "qx", "qy", "qz"]].to_numpy(dtype=np.float64)
+    T = transforms_from_pose_columns_np(xyz, q)
+    return np.einsum("nij,njk->nik", np.linalg.inv(T[:-1]), T[1:])
+
+
+def load_scans(euroc: EurocDataset, scan_times, raw_capacity: int,
+               max_workers: int = 4):
+    """Read all PCDs (threaded) into a padded (N, raw_capacity, 3) stack."""
+    def load_one(t):
+        pts = read_pcd(euroc.scan_pcd_path(t))
+        c = from_numpy(pts, raw_capacity)
+        return np.asarray(c.points), np.asarray(c.mask)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        results = list(ex.map(load_one, scan_times))
+    pts = np.stack([r[0] for r in results])
+    mask = np.stack([r[1] for r in results])
+    return pts, mask
+
+
+def preprocess_all(raw_pts, raw_mask, cfg: IcpConfig, method: str,
+                   voxel_size, seed: int = 0):
+    """Batched device preprocessing of all scans (static batch shape)."""
+    n = raw_pts.shape[0]
+    B = cfg.batch_size
+    n_pad = (-n) % B
+    if n_pad:
+        raw_pts = np.concatenate([raw_pts, raw_pts[-1:].repeat(n_pad, 0)])
+        raw_mask = np.concatenate([raw_mask, raw_mask[-1:].repeat(n_pad, 0)])
+    keys = jax.random.split(jax.random.PRNGKey(seed), raw_pts.shape[0])
+
+    outs = []
+    for b in range(raw_pts.shape[0] // B):
+        sl = slice(b * B, (b + 1) * B)
+        out = preprocess_batch(jnp.asarray(raw_pts[sl]),
+                               jnp.asarray(raw_mask[sl]), keys[sl],
+                               cfg, method, voxel_size)
+        outs.append(out)
+    cat = lambda xs: jnp.concatenate(xs, axis=0)[:n]
+    points = cat([o.points for o in outs])
+    mask = cat([o.mask for o in outs])
+    normals = cat([o.normals for o in outs])
+    g = (cat([o.ground_mask for o in outs])
+         if outs[0].ground_mask is not None else None)
+    ng = (cat([o.nonground_mask for o in outs])
+          if outs[0].nonground_mask is not None else None)
+    return points, mask, normals, g, ng
+
+
+def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
+                      cfg: IcpConfig, method: str,
+                      ground_mask=None, nonground_mask=None,
+                      progress: bool = True) -> np.ndarray:
+    """Batched ICP over consecutive pairs; returns (N-1,4,4) refined T_i_i+1.
+
+    Source = scan i+1, target = scan i (reference keyframemanager.py:52-75
+    direction: result maps source j into target i's frame).
+    """
+    n_pairs = points.shape[0] - 1
+    B = cfg.batch_size
+    params = ICPParams(
+        max_correspondence_distance=cfg.distance_threshold,
+        max_iterations=cfg.max_iterations)
+    icp_method = ("point_to_point" if method == "icppointpoint"
+                  else "point_to_plane")
+
+    # pad the pair list to a batch multiple with self-pairs (discarded)
+    pad = (-n_pairs) % B
+    idx_src = np.concatenate([np.arange(1, n_pairs + 1),
+                              np.full(pad, n_pairs)])
+    idx_tgt = np.concatenate([np.arange(0, n_pairs),
+                              np.full(pad, n_pairs)])
+    seeds = np.concatenate(
+        [T_seeds, np.tile(np.eye(4), (pad, 1, 1))]).astype(np.float32)
+
+    out = np.empty((n_pairs, 4, 4), dtype=np.float64)
+    t0 = time.time()
+    for b in range(len(idx_src) // B):
+        sl = slice(b * B, (b + 1) * B)
+        si, ti = idx_src[sl], idx_tgt[sl]
+        if method == "icp2planes":
+            def one(sp, sgm, sngm, tp, tgm, tngm, tn, sn, T0):
+                from lidar_slam_arvc_tpu.cloud import Cloud
+                return icp_two_planes(
+                    Cloud(sp, sgm, sn), Cloud(tp, tgm, tn),
+                    Cloud(sp, sngm, sn), Cloud(tp, tngm, tn), T0, params)
+            res = jax.vmap(one)(points[si], ground_mask[si],
+                                nonground_mask[si], points[ti],
+                                ground_mask[ti], nonground_mask[ti],
+                                normals[ti], normals[si],
+                                jnp.asarray(seeds[sl]))
+        else:
+            res = icp_batch(points[si], mask[si], points[ti], mask[ti],
+                            normals[ti], jnp.asarray(seeds[sl]),
+                            params, icp_method)
+        Tb = np.asarray(res.transform, dtype=np.float64)
+        hi = min((b + 1) * B, n_pairs)
+        out[b * B:hi] = Tb[: hi - b * B]
+        if progress:
+            done = hi
+            dt = time.time() - t0
+            print(f"\rscanmatch pairs {done}/{n_pairs} "
+                  f"({done / max(dt, 1e-9):.1f} pairs/s)", end="")
+    if progress:
+        print()
+    return out
+
+
+def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
+                    progress: bool = True) -> dict:
+    """Full stage 1; writes the scanmatcher CSVs and returns the trajectory."""
+    euroc = EurocDataset(directory)
+    params = euroc.read_scanmatcher_parameters()
+    start_index = params.get("start_index", 0)
+    delta_time = params.get("delta_time", 0.5)
+    voxel_size = params.get("voxel_size", None)
+    method = params.get("method", "icppointplane")
+    if cfg is None:
+        cfg = IcpConfig()
+
+    scan_times, _, _, df_odo, _ = prepare_experiment_data(
+        euroc, start_index, delta_time)
+    rel_odo = relative_odometry(df_odo)
+
+    t_load = time.time()
+    raw_pts, raw_mask = load_scans(euroc, scan_times, cfg.raw_capacity)
+    points, mask, normals, g, ng = preprocess_all(
+        raw_pts, raw_mask, cfg, method, voxel_size)
+    if progress:
+        print(f"loaded+preprocessed {len(scan_times)} scans "
+              f"in {time.time() - t_load:.2f}s")
+
+    t_icp = time.time()
+    rel_sm = match_consecutive(points, mask, normals, rel_odo, cfg, method,
+                               ground_mask=g, nonground_mask=ng,
+                               progress=progress)
+    icp_seconds = time.time() - t_icp
+
+    # fold to global in float64 on host (long-trajectory accuracy; cheap)
+    T_global = np.empty((len(rel_sm) + 1, 4, 4))
+    T_global[0] = np.eye(4)
+    for i, Tij in enumerate(rel_sm):
+        T_global[i + 1] = T_global[i] @ Tij
+
+    euroc.save_sensor_times_as_csv(
+        scan_times, "/robot0/scanmatcher/lidar_times.csv")
+    euroc.save_transforms_as_csv(
+        scan_times, rel_sm, "/robot0/scanmatcher/scanmatcher_relative.csv")
+    euroc.save_transforms_as_csv(
+        scan_times, T_global, "/robot0/scanmatcher/scanmatcher_global.csv")
+
+    return {"scan_times": scan_times, "relative": rel_sm,
+            "global": T_global, "icp_seconds": icp_seconds,
+            "frames_per_second": len(rel_sm) / max(icp_seconds, 1e-9)}

@@ -1,0 +1,56 @@
+"""Configuration system.
+
+Three tiers, mirroring the reference (SURVEY.md §5):
+  1. CLI: ``-i <dataset dir>`` (pipeline.cli),
+  2. per-dataset YAMLs inside the dataset (robot0/scanmatcher_parameters.yaml,
+     robot0/slam_parameters.yaml — read via io.euroc),
+  3. framework-global ICP/crop parameters — this module.  Unlike the
+     reference's import-time singleton (config/config.py:34) these are an
+     explicit dataclass passed down, overridable from an optional
+     ``icp_parameters.yaml``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """Defaults = reference config/icp_parameters.yaml."""
+    # filter_by_radius (yaml:4-6)
+    max_radius: float = 35.0
+    min_radius: float = 0.5
+    # filter_by_height (yaml:8-10)
+    min_height: float = -1.0
+    max_height: float = 50.0
+    # down_sample (yaml:1-2) — None keeps full resolution
+    voxel_size: float | None = None
+    # normals (yaml:16-18); radius actually used by the reference for normal
+    # estimation is keyframe.py:33's voxel_size_normals=0.3, not the yaml's 3.0
+    normal_radius: float = 0.3
+    normal_radius_ground: float = 0.5
+    # icp (yaml:20-22)
+    distance_threshold: float = 10.0
+    # TPU shape policy (no reference counterpart)
+    raw_capacity: int = 65536       # padded size of a loaded scan
+    capacity: int = 16384           # padded size after crop+voxel downsample
+    max_iterations: int = 30
+    batch_size: int = 8             # scan pairs per ICP dispatch
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> "IcpConfig":
+        with open(path) as f:
+            y = yaml.safe_load(f)
+        kw = dict(
+            max_radius=y["filter_by_radius"]["max_radius"],
+            min_radius=y["filter_by_radius"]["min_radius"],
+            max_height=y["filter_by_height"]["max_height"],
+            min_height=y["filter_by_height"]["min_height"],
+            voxel_size=y["down_sample"]["voxel_size"],
+            distance_threshold=y["icp"]["distance_threshold"],
+        )
+        kw.update(overrides)
+        return cls(**kw)
