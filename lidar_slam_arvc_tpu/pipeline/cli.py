@@ -1,0 +1,69 @@
+"""Command-line interface (reference L5/L6 parity: automate.sh + run_*.py).
+
+    python -m lidar_slam_arvc_tpu.pipeline.cli scanmatch -i <dataset>
+    python -m lidar_slam_arvc_tpu.pipeline.cli graph     -i <dataset>
+    python -m lidar_slam_arvc_tpu.pipeline.cli run       -i <dataset>   # both
+    python -m lidar_slam_arvc_tpu.pipeline.cli view      -i <dataset>
+    python -m lidar_slam_arvc_tpu.pipeline.cli convert   -i <dataset>
+
+``-i/--ifile`` keeps the reference's flag (run_scanmatcher.py:19-34).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p):
+    p.add_argument("-i", "--ifile", required=True, dest="directory",
+                   help="EUROC-format dataset directory")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (debugging)")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="padded per-scan point capacity")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="scan pairs per ICP dispatch")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="lidar_slam_arvc_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name in ("scanmatch", "graph", "run", "view", "convert"):
+        _add_common(sub.add_parser(name))
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from lidar_slam_arvc_tpu.utils.config import IcpConfig
+    overrides = {}
+    if args.capacity:
+        overrides["capacity"] = args.capacity
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    cfg = IcpConfig(**overrides)
+
+    if args.command in ("scanmatch", "run"):
+        from lidar_slam_arvc_tpu.pipeline.scanmatcher import run_scanmatcher
+        out = run_scanmatcher(args.directory, cfg=cfg)
+        print(f"scanmatcher: {len(out['relative'])} pairs, "
+              f"{out['frames_per_second']:.2f} frames/s (ICP)")
+    if args.command in ("graph", "run"):
+        from lidar_slam_arvc_tpu.pipeline.graphslam import run_graphslam
+        out = run_graphslam(args.directory, cfg=cfg)
+        print(f"graphSLAM: {len(out['solution'])} poses, "
+              f"{out['n_loop_closures']} loop closures, "
+              f"{out['seconds']:.1f}s")
+    if args.command == "view":
+        from lidar_slam_arvc_tpu.viz.viewer import view_dataset
+        view_dataset(args.directory)
+    if args.command == "convert":
+        from lidar_slam_arvc_tpu.viz.converter import convert_dataset
+        convert_dataset(args.directory)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,179 @@
+"""Stage 2: pose-graph SLAM with loop closing and optional GPS fusion.
+
+Pipeline parity with reference run_graphSLAM.py:123-289: consume the
+scanmatcher CSVs + odometry + GPS, build a pose graph with SM and ODO
+between-factors and GPS unary factors, optimize every ``skip_optimization``
+poses, attempt triangle loop closures every ``skip_loop_closing`` poses, and
+write the SLAM solution + accepted loop closures.
+
+The ISAM2 incremental updates of the reference become batch LM re-solves at
+the same cadence (graph/solver.py); per-triplet loop-closure ICPs are
+batched on device (loop/loopclosing.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu.geom.hostmath import transforms_from_pose_columns_np
+from lidar_slam_arvc_tpu.graph import PoseGraph
+from lidar_slam_arvc_tpu.io import EurocDataset, filter_gps, gps2utm
+from lidar_slam_arvc_tpu.io.euroc import trajectory_from_df
+from lidar_slam_arvc_tpu.loop import LoopCloser
+from lidar_slam_arvc_tpu.pipeline.scanmatcher import load_scans, preprocess_all
+from lidar_slam_arvc_tpu.registration import ICPParams
+from lidar_slam_arvc_tpu.utils.config import IcpConfig
+
+
+def prepare_experiment_data(euroc: EurocDataset):
+    """(reference run_graphSLAM.py:38-74)."""
+    df_scan_times = euroc.read_csv("/robot0/scanmatcher/lidar_times.csv")
+    scan_times = df_scan_times["#timestamp [ns]"].to_numpy()
+    df_sm_global = euroc.read_csv("/robot0/scanmatcher/scanmatcher_global.csv")
+    try:
+        df_odo = euroc.read_csv("/robot0/odom/data.csv")
+        odo_times = euroc.get_closest_times(
+            scan_times, df_odo["#timestamp [ns]"].to_numpy())
+        df_odo = euroc.get_df_at_times(df_odo, odo_times)
+    except FileNotFoundError:
+        df_odo = None
+    try:
+        df_gps = euroc.read_csv("/robot0/gps0/data.csv")
+        latlonref = euroc.read_utm_ref("gps0")
+        df_gps = filter_gps(df_gps)
+        df_gps = gps2utm(df_gps, latlonref)
+        gps_times = df_gps["#timestamp [ns]"].to_numpy()
+        T0_gps = euroc.read_transform("gps0")
+    except FileNotFoundError:
+        df_gps, gps_times, T0_gps = None, None, None
+    return scan_times, df_sm_global, df_odo, df_gps, gps_times, T0_gps
+
+
+def get_current_gps_reading(current_time, gps_times,
+                            max_delta_time_s: float = 0.1):
+    """(reference run_graphSLAM.py:77-85)."""
+    if gps_times is None:
+        return None
+    diff = np.abs((gps_times - current_time) / 1e9)
+    i = int(np.argmin(diff))
+    return i if diff[i] < max_delta_time_s else None
+
+
+def _relative(T: np.ndarray) -> np.ndarray:
+    return np.einsum("nij,njk->nik", np.linalg.inv(T[:-1]), T[1:])
+
+
+def run_graphslam(directory: str, cfg: IcpConfig | None = None,
+                  progress: bool = True) -> dict:
+    """Full stage 2; writes solution_graphslam.csv + loop_closures.csv."""
+    euroc = EurocDataset(directory)
+    params = euroc.read_slam_parameters()
+    perform_loop_closing = params.get("perform_loop_closing", True)
+    method = params.get("method", "icppointplane")
+    skip_loop_closing = params.get("skip_loop_closing", 50)
+    skip_optimization = params.get("skip_optimization", 50)
+    n_triplets = params.get("number_of_triplets_loop_closing", 20)
+    radius_threshold = params.get("radius_threshold", 2.0)
+    distance_backwards = params.get("distance_backwards", 9.0)
+    if cfg is None:
+        cfg = IcpConfig()
+
+    (scan_times, df_sm_global, df_odo, df_gps, gps_times,
+     T0_gps) = prepare_experiment_data(euroc)
+    if T0_gps is None:
+        T0_gps = np.eye(4)
+
+    # rebase trajectories into the GPS frame (run_graphSLAM.py:207-215)
+    _, sm_global = trajectory_from_df(df_sm_global)
+    sm_global = np.einsum("nij,jk->nik", sm_global, T0_gps)
+    sm_rel = _relative(sm_global)
+    odo_T = trajectory_from_df(df_odo)[1] if df_odo is not None else None
+    if odo_T is not None:
+        odo_T = np.einsum("nij,jk->nik", odo_T, T0_gps)
+        odo_rel = _relative(odo_T)
+    else:
+        odo_rel = None
+
+    n = len(sm_rel) + 1
+    graph = PoseGraph(T0=np.eye(4), T0_gps=T0_gps,
+                      max_poses=_next_pow2(n),
+                      max_between=_next_pow2(2 * n + 8 * n_triplets
+                                             * max(n // max(skip_loop_closing, 1), 1) + 64),
+                      max_gps=_next_pow2(n))
+    graph.init_graph()
+
+    loops_enabled = perform_loop_closing
+    if loops_enabled:
+        # full-resolution clouds for loop-closure ICP (voxel None —
+        # run_graphSLAM.py:224); preprocessed once, batched
+        raw_pts, raw_mask = load_scans(euroc, scan_times, cfg.raw_capacity)
+        pts, mask, normals, _, _ = preprocess_all(
+            raw_pts, raw_mask, cfg, method="icppointplane", voxel_size=None)
+        closer = LoopCloser(
+            graph, pts, mask, normals,
+            distance_backwards=distance_backwards,
+            radius_threshold=radius_threshold,
+            icp_params=ICPParams(
+                max_correspondence_distance=cfg.distance_threshold,
+                max_iterations=cfg.max_iterations),
+            method=("point_to_point" if method == "icppointpoint"
+                    else "point_to_plane"))
+    else:
+        closer = None
+
+    corr_indexes = []
+    loop_closures = []
+    t0 = time.time()
+    for i in range(len(sm_rel)):
+        current_time = scan_times[i]
+        gps_index = get_current_gps_reading(current_time, gps_times,
+                                            max_delta_time_s=0.05)
+        if gps_index is not None:
+            graph.add_gps_factor(df_gps["x"].iloc[gps_index],
+                                 df_gps["y"].iloc[gps_index],
+                                 df_gps["altitude"].iloc[gps_index], i)
+            corr_indexes.append([i, gps_index])
+
+        graph.add_initial_estimate(sm_rel[i], i + 1)
+        graph.add_edge(sm_rel[i], i, i + 1, "SM")
+        if odo_rel is not None:
+            graph.add_edge(odo_rel[i], i, i + 1, "ODO")
+
+        if i % skip_optimization == 0:
+            graph.optimize()
+
+        if loops_enabled and ((i % skip_loop_closing) == 0
+                              or (len(sm_rel) - i) < 2):
+            part = closer.loop_closing_triangle(i, n_triplets)
+            loop_closures.append(part)
+            if part:
+                graph.optimize()
+        if progress:
+            print(f"\rgraphSLAM step {i + 1}/{len(sm_rel)} "
+                  f"({(i + 1) / max(time.time() - t0, 1e-9):.1f} steps/s)",
+                  end="")
+    if progress:
+        print()
+
+    graph.optimize(max_iterations=30)
+
+    solution_lidar = graph.get_solution_transforms_lidar()[:n]
+    euroc.save_transforms_as_csv(scan_times, solution_lidar,
+                                 "/robot0/SLAM/solution_graphslam.csv")
+    euroc.save_loop_closures_as_csv(loop_closures,
+                                    "/robot0/SLAM/loop_closures.csv")
+    n_loops = sum(len(g) for g in loop_closures if g)
+    return {"solution": solution_lidar, "scan_times": scan_times,
+            "loop_closures": loop_closures, "n_loop_closures": n_loops,
+            "gps_correspondences": corr_indexes,
+            "seconds": time.time() - t0}
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p

@@ -40,6 +40,13 @@ class ICPParams(NamedTuple):
     max_iterations: int = 30
     src_block: int = 1024
     tgt_block: int = 2048
+    # Robust (Welsch) IRLS weighting with a scale adapted to the current
+    # residual distribution.  Plain Open3D-style ICP (the reference's
+    # behavior) weights every gated correspondence equally, which biases the
+    # estimate wherever scans only partially overlap (range boundaries,
+    # occlusions); the adaptive kernel anneals those out as the fit
+    # tightens.  Set robust=False for strict reference parity.
+    robust: bool = True
 
 
 class ICPResult(NamedTuple):
@@ -107,6 +114,13 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
                             src_block=params.src_block,
                             tgt_block=params.tgt_block)
         w = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
+        if params.robust:
+            # Welsch IRLS: scale from the gated mean-square distance,
+            # sharpened once by reweighting (two cheap passes, no new NN).
+            sigma2 = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
+            w1 = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
+            sigma2 = jnp.sum(w1 * d2) / jnp.maximum(jnp.sum(w1), 1e-6)
+            w = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
         q = tgt.points[idx]
         if method == "point_to_plane":
             n_corr = tgt_normals[idx]

@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests on a synthetic EUROC dataset (BASELINE.json
+configs 1-4, small scale)."""
+
+import numpy as np
+import pytest
+
+from lidar_slam_arvc_tpu.io import EurocDataset
+from lidar_slam_arvc_tpu.pipeline.graphslam import run_graphslam
+from lidar_slam_arvc_tpu.pipeline.scanmatcher import run_scanmatcher
+from lidar_slam_arvc_tpu.utils import synthetic
+from lidar_slam_arvc_tpu.utils.config import IcpConfig
+from lidar_slam_arvc_tpu.utils.metrics import ate
+
+N_SCANS = 18
+CFG = IcpConfig(raw_capacity=8192, capacity=4096, batch_size=4,
+                max_iterations=20)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("euroc"))
+    info = synthetic.make_dataset(
+        d, n_scans=N_SCANS, seed=1, radius=8.0, scan_points=4000,
+        scanmatcher_params={"voxel_size": 0.2, "method": "icppointplane",
+                            "delta_time": 1.0, "start_index": 0},
+        slam_params={"skip_loop_closing": 6, "skip_optimization": 6,
+                     "radius_threshold": 3.0, "distance_backwards": 6.0,
+                     "number_of_triplets_loop_closing": 8})
+    return d, info
+
+
+@pytest.fixture(scope="module")
+def scanmatcher_result(dataset):
+    d, info = dataset
+    out = run_scanmatcher(d, cfg=CFG, progress=False)
+    return d, info, out
+
+
+class TestScanmatcher:
+    def test_outputs_written(self, scanmatcher_result):
+        d, info, out = scanmatcher_result
+        euroc = EurocDataset(d)
+        times, T_rel = euroc.read_trajectory(
+            "/robot0/scanmatcher/scanmatcher_relative.csv")
+        assert len(T_rel) == N_SCANS - 1
+        times_g, T_glob = euroc.read_trajectory(
+            "/robot0/scanmatcher/scanmatcher_global.csv")
+        assert len(T_glob) == N_SCANS
+        lt = euroc.read_csv("/robot0/scanmatcher/lidar_times.csv")
+        assert len(lt) == N_SCANS
+
+    def test_trajectory_beats_odometry(self, scanmatcher_result):
+        d, info, out = scanmatcher_result
+        T_gt = info["T_gt"]
+        err_sm = ate(out["global"], T_gt)["rmse"]
+        # odometry trajectory for comparison
+        euroc = EurocDataset(d)
+        df_odo = euroc.read_csv("/robot0/odom/data.csv")
+        from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
+            prepare_experiment_data, relative_odometry)
+        _, _, _, df_odo_s, _ = prepare_experiment_data(euroc, 0, 1.0)
+        rel_odo = relative_odometry(df_odo_s)
+        T_odo = np.empty((len(rel_odo) + 1, 4, 4))
+        T_odo[0] = np.eye(4)
+        for i, Tij in enumerate(rel_odo):
+            T_odo[i + 1] = T_odo[i] @ Tij
+        err_odo = ate(T_odo, T_gt)["rmse"]
+        assert err_sm < 0.2, f"scanmatcher ATE {err_sm}"
+        assert err_sm <= err_odo + 0.02, (err_sm, err_odo)
+
+    def test_relative_consistency(self, scanmatcher_result):
+        # global CSV must equal the fold of the relative CSV
+        d, info, out = scanmatcher_result
+        euroc = EurocDataset(d)
+        _, T_rel = euroc.read_trajectory(
+            "/robot0/scanmatcher/scanmatcher_relative.csv")
+        _, T_glob = euroc.read_trajectory(
+            "/robot0/scanmatcher/scanmatcher_global.csv")
+        T = np.eye(4)
+        for i in range(len(T_rel)):
+            T = T @ T_rel[i]
+            np.testing.assert_allclose(T[:3, 3], T_glob[i + 1][:3, 3],
+                                       atol=1e-4)
+
+
+class TestGraphSLAM:
+    def test_full_stage2(self, scanmatcher_result):
+        d, info, out_sm = scanmatcher_result
+        out = run_graphslam(d, cfg=CFG, progress=False)
+        euroc = EurocDataset(d)
+        _, T_sol = euroc.read_trajectory("/robot0/SLAM/solution_graphslam.csv")
+        assert len(T_sol) == N_SCANS
+        err = ate(T_sol, info["T_gt"])["rmse"]
+        err_sm = ate(out_sm["global"], info["T_gt"])["rmse"]
+        # SLAM (with GPS + loop closures) must not degrade the scanmatcher
+        assert err < max(1.5 * err_sm, 0.15), (err, err_sm)
+        # loop closure CSV exists (may be empty on this short circle)
+        lc = euroc.read_csv("/robot0/SLAM/loop_closures.csv")
+        assert set(lc.columns[1:]) == {"i", "j"}
+
+
+class TestCLI:
+    def test_cli_scanmatch_and_graph(self, dataset):
+        d, info = dataset
+        from lidar_slam_arvc_tpu.pipeline import cli
+        # small capacities through CLI flags
+        assert cli.main(["scanmatch", "-i", d, "--capacity", "4096",
+                         "--batch-size", "4"]) == 0
+        assert cli.main(["graph", "-i", d, "--capacity", "4096",
+                         "--batch-size", "4"]) == 0
