@@ -1,0 +1,130 @@
+"""LoopCloser tests: candidate/triplet gates + batched triplet ICP on a
+dense circle where the trajectory returns to its start."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu import cloud as cl
+from lidar_slam_arvc_tpu.graph import PoseGraph
+from lidar_slam_arvc_tpu.loop import LoopCloser
+from lidar_slam_arvc_tpu.loop.loopclosing import _rot_to_euler_both_np
+from lidar_slam_arvc_tpu.registration import ICPParams
+from lidar_slam_arvc_tpu.utils import synthetic
+from lidar_slam_arvc_tpu.utils.metrics import ate
+
+N = 40          # dense circle: step ~ 2*pi*6/40 ~ 0.94 m
+RADIUS = 6.0
+CAP = 2048
+
+
+@pytest.fixture(scope="module")
+def dense_scene():
+    rng = np.random.default_rng(7)
+    world = synthetic.make_world(rng, extent=15.0, n_ground=5000,
+                                 n_pillars=25, pillar_pts=200)
+    T_gt = synthetic.make_trajectory(N, radius=RADIUS)
+    pts_list, mask_list, norm_list = [], [], []
+    for i in range(N):
+        scan = synthetic.render_scan(world, T_gt[i], rng, max_range=18.0,
+                                     max_points=2500)
+        c = cl.from_numpy(scan, CAP)
+        c = cl.crop_radius_height(c, 0.5, 35.0, -1.0, 50.0)
+        c = cl.voxel_downsample(c, 0.2)
+        c = cl.estimate_normals(c, radius=0.4)
+        pts_list.append(c.points)
+        mask_list.append(c.mask)
+        norm_list.append(c.normals)
+    return (T_gt, jnp.stack(pts_list), jnp.stack(mask_list),
+            jnp.stack(norm_list))
+
+
+def drifted_graph(T_gt, drift_yaw=0.003, drift_x=0.01):
+    g = PoseGraph(max_poses=64, max_between=512, max_gps=64)
+    g.init_graph()
+    drift = synthetic._yaw_T(drift_x, 0.0, drift_yaw)
+    for i in range(N - 1):
+        rel = np.linalg.inv(T_gt[i]) @ T_gt[i + 1] @ drift
+        g.add_initial_estimate(rel, i + 1)
+        g.add_edge(rel, i, i + 1, "SM")
+    return g
+
+
+class TestCandidateSearch:
+    def test_no_candidates_early(self, dense_scene):
+        T_gt, pts, mask, normals = dense_scene
+        g = drifted_graph(T_gt)
+        g.n_poses = 10  # pretend we're early in the run
+        closer = LoopCloser(g, pts, mask, normals,
+                            distance_backwards=8.0, radius_threshold=2.0)
+        assert len(closer.find_candidates()) == 0
+        g.n_poses = N  # restore
+
+    def test_candidates_at_loop_closure(self, dense_scene):
+        T_gt, pts, mask, normals = dense_scene
+        g = drifted_graph(T_gt, drift_yaw=0.0, drift_x=0.0)
+        closer = LoopCloser(g, pts, mask, normals,
+                            distance_backwards=8.0, radius_threshold=3.0)
+        cands = closer.find_candidates()
+        assert len(cands) > 0
+        # candidates are early poses near the start (current pose ~ pose 0)
+        assert cands.min() < 5
+
+    def test_triplet_gates(self, dense_scene):
+        T_gt, pts, mask, normals = dense_scene
+        g = drifted_graph(T_gt, drift_yaw=0.0, drift_x=0.0)
+        closer = LoopCloser(g, pts, mask, normals,
+                            distance_backwards=8.0, radius_threshold=3.0)
+        triplets = closer.find_feasible_triplets(N - 1)
+        assert len(triplets) > 0
+        positions = g.positions()
+        for (i, j1, j2) in triplets:
+            dindex = abs(j2 - j1)
+            d = np.linalg.norm(positions[j1] - positions[j2])
+            assert 1 < dindex < 80
+            assert 1.0 < d < 2.0
+
+
+class TestTriangleGate:
+    def test_identity_accepted(self, dense_scene):
+        T_gt, pts, mask, normals = dense_scene
+        g = drifted_graph(T_gt)
+        closer = LoopCloser(g, pts, mask, normals)
+        assert closer.check_distances(np.eye(4))
+
+    def test_bad_transform_rejected(self, dense_scene):
+        T_gt, pts, mask, normals = dense_scene
+        g = drifted_graph(T_gt)
+        closer = LoopCloser(g, pts, mask, normals)
+        bad = synthetic._yaw_T(0.5, 0.0, 0.0)
+        assert not closer.check_distances(bad)
+        bad_rot = synthetic._yaw_T(0.0, 0.0, 0.2)
+        assert not closer.check_distances(bad_rot)
+
+    def test_euler_both_branches(self):
+        # both branch norms considered (reference loopclosing.py:119-129)
+        from scipy.spatial.transform import Rotation as SR
+        R = SR.from_euler("XYZ", [0.01, 0.02, 0.01]).as_matrix()
+        e1, e2 = _rot_to_euler_both_np(R)
+        assert min(np.linalg.norm(e1), np.linalg.norm(e2)) < 0.05
+
+
+class TestLoopClosingEndToEnd:
+    def test_closures_found_and_drift_reduced(self, dense_scene):
+        T_gt, pts, mask, normals = dense_scene
+        g = drifted_graph(T_gt)
+        before = ate(g.current_estimate, T_gt)["rmse"]
+        closer = LoopCloser(
+            g, pts, mask, normals, distance_backwards=8.0,
+            radius_threshold=3.0,
+            icp_params=ICPParams(max_correspondence_distance=5.0,
+                                 max_iterations=20, src_block=512,
+                                 tgt_block=512),
+            seed=0)
+        added = closer.loop_closing_triangle(N - 1, number_of_triplets=6)
+        assert len(added) >= 2, "no loop closures accepted"
+        g.optimize(max_iterations=30)
+        after = ate(g.current_estimate, T_gt)["rmse"]
+        assert after < before * 0.6, (before, after)
