@@ -107,16 +107,21 @@ def _block_indices(idx: jax.Array):
     return idx[:, None] * 6 + jnp.arange(6, dtype=idx.dtype)[None, :]
 
 
-@jax.jit
-def _assemble(poses: jax.Array, factors: FactorData, n_active: jax.Array):
-    """Dense H (6N,6N) and gradient b (6N,) by scatter-add of factor blocks."""
+def _assemble_between(poses: jax.Array, bt_i, bt_j, bt_T, bt_winv):
+    """Dense (6N,6N)/(6N,) contributions of a set of between factors.
+
+    Factored out so the distributed solver (parallel/dist_solver.py) can run
+    it per edge-shard inside shard_map and psum the partials.
+    """
+    from lidar_slam_arvc_tpu.graph.factors import FactorData
     N6 = poses.shape[0] * 6
     H = jnp.zeros((N6, N6), dtype=poses.dtype)
     b = jnp.zeros((N6,), dtype=poses.dtype)
-
-    # --- between factors ---
-    r, A, B = _between_residuals(poses, factors)
-    w2 = factors.bt_winv ** 2                       # (E,6) diagonal weights
+    f = FactorData(bt_i=bt_i, bt_j=bt_j, bt_T=bt_T, bt_winv=bt_winv,
+                   gps_i=None, gps_z=None, gps_winv=None,
+                   pr_i=None, pr_T=None, pr_winv=None)
+    r, A, B = _between_residuals(poses, f)
+    w2 = bt_winv ** 2                               # (E,6) diagonal weights
     AtW = jnp.swapaxes(A, -1, -2) * w2[:, None, :]  # A^T W^2
     BtW = jnp.swapaxes(B, -1, -2) * w2[:, None, :]
     Hii = jnp.einsum("eab,ebc->eac", AtW, A, precision=_HI)
@@ -125,14 +130,22 @@ def _assemble(poses: jax.Array, factors: FactorData, n_active: jax.Array):
     bi = jnp.einsum("eab,eb->ea", AtW, r, precision=_HI)
     bj = jnp.einsum("eab,eb->ea", BtW, r, precision=_HI)
 
-    ri = _block_indices(factors.bt_i)
-    rj = _block_indices(factors.bt_j)
+    ri = _block_indices(bt_i)
+    rj = _block_indices(bt_j)
     H = H.at[ri[:, :, None], ri[:, None, :]].add(Hii)
     H = H.at[ri[:, :, None], rj[:, None, :]].add(Hij)
     H = H.at[rj[:, :, None], ri[:, None, :]].add(jnp.swapaxes(Hij, -1, -2))
     H = H.at[rj[:, :, None], rj[:, None, :]].add(Hjj)
     b = b.at[ri].add(bi)
     b = b.at[rj].add(bj)
+    return H, b
+
+
+def _assemble_unary(poses: jax.Array, factors: FactorData, n_active):
+    """GPS + prior contributions and the inactive-pose diagonal."""
+    N6 = poses.shape[0] * 6
+    H = jnp.zeros((N6, N6), dtype=poses.dtype)
+    b = jnp.zeros((N6,), dtype=poses.dtype)
 
     # --- gps factors ---
     rg, Jg = _gps_residuals(poses, factors)
@@ -161,6 +174,15 @@ def _assemble(poses: jax.Array, factors: FactorData, n_active: jax.Array):
     H = H + jnp.diag(inactive.astype(poses.dtype))
     b = jnp.where(inactive, 0.0, b)
     return H, b
+
+
+@jax.jit
+def _assemble(poses: jax.Array, factors: FactorData, n_active: jax.Array):
+    """Dense H (6N,6N) and gradient b (6N,) by scatter-add of factor blocks."""
+    Hb, bb = _assemble_between(poses, factors.bt_i, factors.bt_j,
+                               factors.bt_T, factors.bt_winv)
+    Hu, bu = _assemble_unary(poses, factors, n_active)
+    return Hb + Hu, bb + bu
 
 
 @jax.jit
