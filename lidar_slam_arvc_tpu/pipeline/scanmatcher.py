@@ -63,16 +63,40 @@ def relative_odometry(df_odo) -> np.ndarray:
 
 def load_scans(euroc: EurocDataset, scan_times, raw_capacity: int,
                max_workers: int = 4):
-    """Read all PCDs (threaded) into a padded (N, raw_capacity, 3) stack."""
-    def load_one(t):
-        pts = read_pcd(euroc.scan_pcd_path(t))
-        c = from_numpy(pts, raw_capacity)
-        return np.asarray(c.points), np.asarray(c.mask)
+    """Read all PCDs into a padded (N, raw_capacity, 3) stack + mask.
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
-        results = list(ex.map(load_one, scan_times))
-    pts = np.stack([r[0] for r in results])
-    mask = np.stack([r[1] for r in results])
+    Uses the native threaded batch loader (native/pcd_native.cpp via
+    io.native) for binary/compressed files, with a python fallback per file
+    (ascii PCDs, parse failures, or no toolchain)."""
+    from lidar_slam_arvc_tpu.io import native
+
+    paths = [euroc.scan_pcd_path(t) for t in scan_times]
+    n = len(paths)
+    pts = mask = None
+    if native.available():
+        batch = native.read_pcd_batch(paths, raw_capacity)
+        if batch is not None:
+            pts, counts = batch
+            mask = (np.arange(raw_capacity)[None, :] < counts[:, None])
+            fallback = np.nonzero(counts < 0)[0]
+        else:
+            fallback = np.arange(n)
+    else:
+        fallback = np.arange(n)
+    if pts is None:
+        pts = np.zeros((n, raw_capacity, 3), dtype=np.float32)
+        mask = np.zeros((n, raw_capacity), dtype=bool)
+
+    if len(fallback):
+        def load_one(i):
+            c = from_numpy(read_pcd(paths[i]), raw_capacity)
+            return i, np.asarray(c.points), np.asarray(c.mask)
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=max_workers) as ex:
+            for i, p, m in ex.map(load_one, fallback):
+                pts[i] = p
+                mask[i] = m
     return pts, mask
 
 

@@ -218,3 +218,52 @@ class TestCSVSchema:
         df = pd.read_csv(str(tmp_path) + "/robot0/SLAM/loop_closures.csv")
         assert list(df["i"]) == [1, 3, 5]
         assert list(df["j"]) == [2, 4, 6]
+
+
+class TestNativeLoader:
+    """Native C++ PCD loader (built on demand; skipped without toolchain)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from lidar_slam_arvc_tpu.io import native
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+
+    def test_binary_matches_python(self, tmp_path, rng):
+        from lidar_slam_arvc_tpu.io import native
+        pts = rng.normal(size=(3000, 3)).astype(np.float32)
+        fn = str(tmp_path / "n.pcd")
+        write_pcd(fn, pts)
+        np.testing.assert_array_equal(native.read_pcd_xyz(fn, 4096), pts)
+        np.testing.assert_array_equal(read_pcd(fn), pts)
+
+    def test_lzf_matches_python(self, rng):
+        from lidar_slam_arvc_tpu.io import native
+        data = np.repeat(rng.integers(0, 40, 300),
+                         rng.integers(1, 30, 300)).astype(np.uint8).tobytes()
+        comp = _lzf_compress(data)
+        assert native.lzf_decompress(comp, len(data)) == data
+        assert lzf_decompress_py(comp, len(data)) == data
+
+    def test_batch_threaded(self, tmp_path, rng):
+        from lidar_slam_arvc_tpu.io import native
+        paths = []
+        clouds = []
+        for i in range(6):
+            pts = rng.normal(size=(100 + 10 * i, 3)).astype(np.float32)
+            fn = str(tmp_path / f"{i}.pcd")
+            write_pcd(fn, pts)
+            paths.append(fn)
+            clouds.append(pts)
+        out, counts = native.read_pcd_batch(paths, 256, n_threads=3)
+        for i in range(6):
+            assert counts[i] == len(clouds[i])
+            np.testing.assert_array_equal(out[i, :counts[i]], clouds[i])
+
+    def test_capacity_truncation(self, tmp_path, rng):
+        from lidar_slam_arvc_tpu.io import native
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        fn = str(tmp_path / "t.pcd")
+        write_pcd(fn, pts)
+        out = native.read_pcd_xyz(fn, 40)
+        np.testing.assert_array_equal(out, pts[:40])
