@@ -21,11 +21,15 @@ from lidar_slam_arvc_tpu.cloud.cloud import Cloud
 from lidar_slam_arvc_tpu.ops import radius_accumulate, smallest_eigenvector_sym3
 
 
-def estimate_normals(cloud: Cloud, radius: float) -> Cloud:
+def estimate_normals(cloud: Cloud, radius: float,
+                     orient_to_viewpoint: bool = True) -> Cloud:
     """Returns the cloud with unit ``normals`` filled for valid points.
 
     Points with fewer than 3 ball neighbors (including self) get +z, like
-    Open3D's degenerate fallback.
+    Open3D's degenerate fallback.  With ``orient_to_viewpoint`` (default)
+    normal signs are flipped to face the sensor origin — the PCL viewpoint
+    convention.  Sign is irrelevant for point-to-plane ICP but essential for
+    FPFH descriptors, whose Darboux angles are sign-sensitive.
     """
     count, s1, s2 = radius_accumulate(
         cloud.points, cloud.points, cloud.mask, radius)
@@ -48,6 +52,10 @@ def estimate_normals(cloud: Cloud, radius: float) -> Cloud:
     ], axis=-2)
 
     normals = smallest_eigenvector_sym3(cov)
+    if orient_to_viewpoint:
+        # flip so n . (viewpoint - p) >= 0 with viewpoint = sensor origin
+        facing = jnp.sum(normals * cloud.points, axis=-1, keepdims=True)
+        normals = jnp.where(facing > 0, -normals, normals)
     degenerate = (count < 3.0)[:, None]
     ez = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=normals.dtype),
                           normals.shape)

@@ -46,13 +46,14 @@ def nn_search(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
     """Nearest target index + squared distance for every source point.
 
     Args:
-      src: (S, 3) query points.
-      tgt: (T, 3) target points.
+      src: (S, D) query points (D = 3 for clouds; any D, e.g. 33-dim
+        FPFH features, works — the sweep is dimension-agnostic).
+      tgt: (T, D) target points.
       tgt_mask: (T,) validity of target points (False rows never match).
     Returns:
       (idx (S,) int32, dist2 (S,) f32) — exact nearest among valid targets.
     """
-    S = src.shape[0]
+    S, D = src.shape
     src_p, _ = _pad_rows(src, src_block)
     tgt_p, T = _pad_rows(tgt, tgt_block)
     mask_p, _ = _pad_rows(tgt_mask[:, None].astype(src.dtype), tgt_block)
@@ -60,7 +61,7 @@ def nn_search(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
 
     t2 = jnp.sum(tgt_p * tgt_p, axis=-1) + jnp.where(mask_p > 0, 0.0, _BIG)
     n_tiles = tgt_p.shape[0] // tgt_block
-    tgt_tiles = tgt_p.reshape(n_tiles, tgt_block, 3)
+    tgt_tiles = tgt_p.reshape(n_tiles, tgt_block, D)
     t2_tiles = t2.reshape(n_tiles, tgt_block)
 
     def per_chunk(src_chunk):
@@ -84,13 +85,71 @@ def nn_search(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
             body, init, (tgt_tiles, t2_tiles, starts))
         return best_d2, best_idx
 
-    chunks = src_p.reshape(-1, src_block, 3)
+    chunks = src_p.reshape(-1, src_block, D)
     d2, idx = jax.lax.map(per_chunk, chunks)
     d2 = d2.reshape(-1)[:S]
     idx = idx.reshape(-1)[:S]
     # numerical floor: the matmul identity can give tiny negatives
     d2 = jnp.maximum(d2, 0.0)
     return idx, d2
+
+
+@functools.partial(jax.jit, static_argnames=("src_block", "tgt_block"))
+def nn2_search(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
+               src_block: int = 1024, tgt_block: int = 2048):
+    """Top-2 nearest targets per source row: (idx1, d2_1, d2_2).
+
+    Used for Lowe-style ratio tests on feature matches (global
+    registration).  Same tiled MXU sweep as :func:`nn_search` with a
+    two-slot running minimum.
+    """
+    S, D = src.shape
+    src_p, _ = _pad_rows(src, src_block)
+    tgt_p, _ = _pad_rows(tgt, tgt_block)
+    mask_p, _ = _pad_rows(tgt_mask[:, None].astype(src.dtype), tgt_block)
+    mask_p = mask_p[:, 0]
+
+    t2 = jnp.sum(tgt_p * tgt_p, axis=-1) + jnp.where(mask_p > 0, 0.0, _BIG)
+    n_tiles = tgt_p.shape[0] // tgt_block
+    tgt_tiles = tgt_p.reshape(n_tiles, tgt_block, D)
+    t2_tiles = t2.reshape(n_tiles, tgt_block)
+
+    def per_chunk(src_chunk):
+        s2 = jnp.sum(src_chunk * src_chunk, axis=-1)
+
+        def body(carry, tile):
+            b1, i1, b2 = carry
+            tgt_tile, t2_tile, tile_start = tile
+            cross = jnp.dot(src_chunk, tgt_tile.T, precision=_HI)
+            d2 = s2[:, None] + t2_tile[None, :] - 2.0 * cross
+            tile_min = jnp.min(d2, axis=1)
+            tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + tile_start
+            # second-best within the tile (mask out the argmin column)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            d2_wo = jnp.where(cols == (tile_arg - tile_start)[:, None],
+                              jnp.inf, d2)
+            tile_min2 = jnp.min(d2_wo, axis=1)
+            # merge two sorted pairs
+            new_b1 = jnp.minimum(b1, tile_min)
+            new_i1 = jnp.where(tile_min < b1, tile_arg, i1)
+            cand2 = jnp.where(tile_min < b1,
+                              jnp.minimum(b1, tile_min2),
+                              jnp.minimum(b2, tile_min))
+            return (new_b1, new_i1, cand2), None
+
+        init = (jnp.full(src_chunk.shape[0], jnp.inf, dtype=src.dtype),
+                jnp.zeros(src_chunk.shape[0], dtype=jnp.int32),
+                jnp.full(src_chunk.shape[0], jnp.inf, dtype=src.dtype))
+        starts = jnp.arange(n_tiles, dtype=jnp.int32) * tgt_block
+        (b1, i1, b2), _ = jax.lax.scan(body, init,
+                                       (tgt_tiles, t2_tiles, starts))
+        return b1, i1, b2
+
+    chunks = src_p.reshape(-1, src_block, D)
+    d2_1, idx, d2_2 = jax.lax.map(per_chunk, chunks)
+    return (idx.reshape(-1)[:S],
+            jnp.maximum(d2_1.reshape(-1)[:S], 0.0),
+            jnp.maximum(d2_2.reshape(-1)[:S], 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("query_block", "tgt_block"))

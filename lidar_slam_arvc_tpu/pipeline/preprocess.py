@@ -39,11 +39,19 @@ def _pre_one(raw_pts, raw_mask, key, cfg: IcpConfig, method: str,
         # grid finer than sensor resolution keeps points intact
         c = cl.voxel_downsample(c, 0.01, out_capacity=cfg.capacity)
 
+    # Covariance normals need >= ~8 ball neighbors; on a voxelized cloud
+    # that means a radius of a few voxels.  The reference's fixed 0.3 m
+    # (keyframe.py:33) assumes full-resolution clouds and collapses to <3
+    # neighbors on coarse grids, so scale with the voxel size.
+    normal_radius = cfg.normal_radius
+    if voxel_size is not None:
+        normal_radius = max(normal_radius, 2.5 * voxel_size)
+
     ground_mask = nonground_mask = None
-    if method in ("icppointplane", "fpfh"):
-        c = cl.estimate_normals(c, cfg.normal_radius)
-    elif method == "icp2planes":
-        c = cl.estimate_normals(c, cfg.normal_radius)
+    if method == "icppointplane":
+        c = cl.estimate_normals(c, normal_radius)
+    elif method in ("icp2planes", "fpfh"):
+        c = cl.estimate_normals(c, normal_radius)
         plane = cl.ransac_ground_plane(c, key, seed_height=-0.5,
                                        distance_threshold=0.01,
                                        num_iterations=1000)

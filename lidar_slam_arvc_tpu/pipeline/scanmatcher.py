@@ -160,7 +160,22 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
     for b in range(len(idx_src) // B):
         sl = slice(b * B, (b + 1) * B)
         si, ti = idx_src[sl], idx_tgt[sl]
-        if method == "icp2planes":
+        if method == "fpfh":
+            from lidar_slam_arvc_tpu.cloud import Cloud
+            from lidar_slam_arvc_tpu.registration.global_reg import (
+                GlobalRegParams, global_registration)
+            gp = GlobalRegParams(fpfh_radius=cfg.fpfh_radius, icp=params)
+            keys = jax.random.split(jax.random.PRNGKey(b), B)
+
+            def one(sp, sm, sngm, tp, tm, tngm, tn, sn, key):
+                return global_registration(
+                    Cloud(sp, sm, sn), Cloud(tp, tm, tn), key, gp,
+                    src_nonground=Cloud(sp, sngm, sn),
+                    tgt_nonground=Cloud(tp, tngm, tn))
+            res = jax.vmap(one)(points[si], mask[si], nonground_mask[si],
+                                points[ti], mask[ti], nonground_mask[ti],
+                                normals[ti], normals[si], keys)
+        elif method == "icp2planes":
             def one(sp, sgm, sngm, tp, tgm, tngm, tn, sn, T0):
                 from lidar_slam_arvc_tpu.cloud import Cloud
                 return icp_two_planes(

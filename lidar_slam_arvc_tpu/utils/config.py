@@ -34,6 +34,10 @@ class IcpConfig:
     normal_radius_ground: float = 0.5
     # icp (yaml:20-22)
     distance_threshold: float = 10.0
+    # fpfh global registration: descriptor ball radius.  Needs tens of
+    # neighbors per point (~5x the voxel size) or the 33-bin histograms are
+    # noise; the reference's 0.3 works only on its full-resolution clouds.
+    fpfh_radius: float = 1.0
     # TPU shape policy (no reference counterpart)
     raw_capacity: int = 65536       # padded size of a loaded scan
     capacity: int = 16384           # padded size after crop+voxel downsample

@@ -23,8 +23,14 @@ from lidar_slam_arvc_tpu.io.pcd import write_pcd
 
 def make_world(rng: np.random.Generator, extent: float = 30.0,
                n_ground: int = 12000, n_pillars: int = 30,
-               pillar_pts: int = 400) -> np.ndarray:
-    """Ground plane + vertical pillars + perimeter walls (N, 3) float32."""
+               pillar_pts: int = 400, n_boxes: int = 0,
+               box_pts: int = 600) -> np.ndarray:
+    """Ground plane + vertical pillars + perimeter walls (N, 3) float32.
+
+    ``n_boxes`` adds axis-misaligned boxes of varied size — corner/edge
+    geometry that feature descriptors (FPFH) can discriminate, unlike the
+    rotationally-symmetric pillars.
+    """
     ground = np.empty((n_ground, 3), dtype=np.float64)
     ground[:, 0] = rng.uniform(-extent, extent, n_ground)
     ground[:, 1] = rng.uniform(-extent, extent, n_ground)
@@ -42,6 +48,26 @@ def make_world(rng: np.random.Generator, extent: float = 30.0,
             z,
         ], axis=1))
 
+    boxes = []
+    for _ in range(n_boxes):
+        cx, cy = rng.uniform(-extent * 0.8, extent * 0.8, size=2)
+        sx, sy = rng.uniform(0.8, 3.0, size=2)
+        h = rng.uniform(1.0, 3.5)
+        yaw = rng.uniform(0, np.pi)
+        c, s = np.cos(yaw), np.sin(yaw)
+        # sample the 4 side faces + top
+        face = rng.integers(0, 5, box_pts)
+        u = rng.uniform(-0.5, 0.5, box_pts)
+        v = rng.uniform(0, 1, box_pts)
+        lx = np.where(face == 0, 0.5, np.where(face == 1, -0.5, u)) * sx
+        ly = np.where(face == 2, 0.5, np.where(face == 3, -0.5, u)) * sy
+        lx = np.where((face == 2) | (face == 3) | (face == 4), u * sx, lx)
+        ly = np.where((face == 0) | (face == 1), u * sy,
+                      np.where(face == 4, rng.uniform(-0.5, 0.5, box_pts) * sy, ly))
+        lz = np.where(face == 4, h, v * h)
+        boxes.append(np.stack([cx + c * lx - s * ly,
+                               cy + s * lx + c * ly, lz], axis=1))
+
     walls = []
     n_wall = 4000
     side = rng.integers(0, 4, n_wall)
@@ -51,7 +77,7 @@ def make_world(rng: np.random.Generator, extent: float = 30.0,
     wy = np.where(side == 2, extent, np.where(side == 3, -extent, along))
     walls.append(np.stack([wx, wy, height], axis=1))
 
-    world = np.concatenate([ground] + pillars + walls).astype(np.float32)
+    world = np.concatenate([ground] + pillars + boxes + walls).astype(np.float32)
     return world
 
 
@@ -128,7 +154,8 @@ def perturb_trajectory(T_gt: np.ndarray, rng: np.random.Generator,
 
 def make_dataset(directory: str, n_scans: int = 40, seed: int = 0,
                  radius: float = 12.0, with_gps: bool = True,
-                 scan_points: int = 6000,
+                 scan_points: int = 6000, max_range: float = 25.0,
+                 world_kwargs: dict | None = None,
                  scanmatcher_params: dict | None = None,
                  slam_params: dict | None = None) -> dict:
     """Write a complete synthetic EUROC-format dataset.
@@ -137,7 +164,7 @@ def make_dataset(directory: str, n_scans: int = 40, seed: int = 0,
     Returns a dict with the ground-truth trajectory and timestamps.
     """
     rng = np.random.default_rng(seed)
-    world = make_world(rng)
+    world = make_world(rng, **(world_kwargs or {}))
     T_gt = make_trajectory(n_scans, radius=radius)
     times = (1e9 * (1.0 + np.arange(n_scans))).astype(np.int64)
 
@@ -146,7 +173,8 @@ def make_dataset(directory: str, n_scans: int = 40, seed: int = 0,
     # LiDAR scans + index CSV
     import pandas as pd
     for i in range(n_scans):
-        scan = render_scan(world, T_gt[i], rng, max_points=scan_points)
+        scan = render_scan(world, T_gt[i], rng, max_points=scan_points,
+                           max_range=max_range)
         write_pcd(f"{directory}/robot0/lidar/data/{times[i]}.pcd", scan)
     pd.DataFrame({"#timestamp [ns]": times}).to_csv(
         f"{directory}/robot0/lidar/data.csv", index=False)

@@ -108,3 +108,68 @@ class TestCLI:
                          "--batch-size", "4"]) == 0
         assert cli.main(["graph", "-i", d, "--capacity", "4096",
                          "--batch-size", "4"]) == 0
+
+
+class TestOtherMethods:
+    """Method dispatch parity: icppointpoint, icp2planes, fpfh
+    (reference keyframemanager.py:52-75)."""
+
+    @pytest.fixture(scope="class")
+    def small_dataset(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("methods"))
+        # dense, feature-rich world: fpfh needs box corners and tens of
+        # neighbors per descriptor (see test_global_reg)
+        info = synthetic.make_dataset(
+            d, n_scans=14, seed=2, radius=5.0, scan_points=7000,
+            max_range=10.0,
+            world_kwargs={"extent": 11.0, "n_ground": 14000, "n_pillars": 6,
+                          "pillar_pts": 600, "n_boxes": 10, "box_pts": 2000},
+            scanmatcher_params={"voxel_size": 0.25, "delta_time": 1.0,
+                                "start_index": 0})
+        return d, info
+
+    def _run_with_method(self, d, method, voxel=None, **cfg_overrides):
+        import yaml
+        with open(f"{d}/robot0/scanmatcher_parameters.yaml") as f:
+            params = yaml.safe_load(f)
+        params["method"] = method
+        if voxel is not None:
+            params["voxel_size"] = voxel
+        with open(f"{d}/robot0/scanmatcher_parameters.yaml", "w") as f:
+            yaml.safe_dump(params, f)
+        kw = dict(raw_capacity=8192, capacity=4096, batch_size=2,
+                  max_iterations=15)
+        kw.update(cfg_overrides)
+        return run_scanmatcher(d, cfg=IcpConfig(**kw), progress=False)
+
+    def test_point_to_point(self, small_dataset):
+        d, info = small_dataset
+        out = self._run_with_method(d, "icppointpoint")
+        err = ate(out["global"], info["T_gt"][: len(out["global"])])["rmse"]
+        assert err < 0.5, err
+
+    def test_two_planes(self, small_dataset):
+        d, info = small_dataset
+        out = self._run_with_method(d, "icp2planes")
+        err = ate(out["global"], info["T_gt"][: len(out["global"])])["rmse"]
+        assert err < 0.5, err
+
+    def test_fpfh(self, small_dataset):
+        d, info = small_dataset
+        # coarser voxels: FPFH is O(N^2 * bins) per cloud — keep the CPU
+        # test tractable while preserving ~40 ball neighbors per descriptor
+        out = self._run_with_method(d, "fpfh", voxel=0.35, capacity=2048,
+                                    fpfh_radius=1.4)
+        # per-pair global registration has no odometry seed and no graph
+        # correction; occasional coarse-stage misses accumulate, so this is
+        # a sanity bound, not an accuracy bound (the reference's fpfh mode
+        # behaves the same way)
+        err = ate(out["global"], info["T_gt"][: len(out["global"])])["rmse"]
+        assert err < 2.0, err
+        # most individual pairs must still register well
+        rel_gt = np.einsum("nij,njk->nik",
+                           np.linalg.inv(info["T_gt"][:-1]), info["T_gt"][1:])
+        per_pair = np.linalg.norm(
+            out["relative"][:, :3, 3] - rel_gt[: len(out["relative"]), :3, 3],
+            axis=1)
+        assert (per_pair < 0.5).mean() > 0.6, per_pair
