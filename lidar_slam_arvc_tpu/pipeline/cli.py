@@ -29,7 +29,7 @@ def _add_common(p):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="lidar_slam_arvc_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
-    for name in ("scanmatch", "graph", "run", "view", "convert"):
+    for name in ("scanmatch", "graph", "run", "view", "convert", "diag"):
         _add_common(sub.add_parser(name))
     args = parser.parse_args(argv)
 
@@ -62,6 +62,22 @@ def main(argv=None):
     if args.command == "convert":
         from lidar_slam_arvc_tpu.viz.converter import convert_dataset
         convert_dataset(args.directory)
+    if args.command == "diag":
+        import json
+        from lidar_slam_arvc_tpu.viz import diagnostics
+        report = {"timestamps": diagnostics.check_timestamps(args.directory)}
+        report["raw_data"] = diagnostics.view_raw_data(args.directory)
+        for csv, tag in (("/robot0/SLAM/solution_graphslam.csv", "slam"),
+                         ("/robot0/scanmatcher/scanmatcher_global.csv",
+                          "scanmatcher")):
+            try:
+                report[f"solution_{tag}"] = diagnostics.view_solutions(
+                    args.directory, csv)
+                report[f"delta_{tag}"] = diagnostics.compare_solutions(
+                    args.directory, csv)
+            except FileNotFoundError:
+                pass
+        print(json.dumps(report, indent=2))
     return 0
 
 

@@ -1,0 +1,71 @@
+"""Tracing and per-stage timing (SURVEY.md §5: absent in the reference,
+first-class here).
+
+  * :class:`StageTimer` — named wall-clock counters with frames/s reporting,
+    used by the pipeline drivers (replaces the reference's ad-hoc prints,
+    run_scanmatcher.py:194,209-210).
+  * :func:`trace` — context manager around ``jax.profiler`` producing a
+    TensorBoard-loadable trace directory for kernel-level inspection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+
+
+class StageTimer:
+    """Accumulates wall time + item counts per named stage."""
+
+    def __init__(self):
+        self.seconds = defaultdict(float)
+        self.items = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, items: int = 0):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.seconds[name] += time.perf_counter() - t0
+            self.items[name] += items
+
+    def rate(self, name: str) -> float | None:
+        s = self.seconds.get(name, 0.0)
+        n = self.items.get(name, 0)
+        return n / s if s > 0 and n else None
+
+    def report(self) -> dict:
+        out = {}
+        for name in self.seconds:
+            out[name] = {"seconds": round(self.seconds[name], 4),
+                         "items": self.items[name]}
+            r = self.rate(name)
+            if r is not None:
+                out[name]["items_per_second"] = round(r, 2)
+        return out
+
+    def dump(self, path: str):
+        with open(path, "w") as f:
+            json.dump(self.report(), f, indent=2)
+
+    def __str__(self):
+        parts = []
+        for name, stats in sorted(self.report().items()):
+            rate = stats.get("items_per_second")
+            rate_s = f" ({rate}/s)" if rate else ""
+            parts.append(f"{name}: {stats['seconds']}s{rate_s}")
+        return " | ".join(parts)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device trace (view with TensorBoard's profile plugin)."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

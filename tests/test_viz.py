@@ -69,3 +69,65 @@ class TestViewerEndToEnd:
         import os
         assert os.path.exists(f"{d}/robot0/viz/trajectory.png")
         assert os.path.exists(f"{d}/robot0/viz/map.ply")
+
+
+class TestDiagnostics:
+    """viewers/ parity: timestamps, raw data, solution comparison."""
+
+    @pytest.fixture(scope="class")
+    def diag_dataset(self, tmp_path_factory):
+        from lidar_slam_arvc_tpu.utils import synthetic
+        d = str(tmp_path_factory.mktemp("diag"))
+        info = synthetic.make_dataset(d, n_scans=8, seed=4, radius=6.0,
+                                      scan_points=500)
+        # fabricate a "solution" = ground truth for the diagnostics to read
+        from lidar_slam_arvc_tpu.io import EurocDataset
+        EurocDataset(d).save_transforms_as_csv(
+            info["times"], info["T_gt"],
+            "/robot0/SLAM/solution_graphslam.csv")
+        return d, info
+
+    def test_check_timestamps(self, diag_dataset):
+        from lidar_slam_arvc_tpu.viz.diagnostics import check_timestamps
+        d, info = diag_dataset
+        rep = check_timestamps(d)
+        assert rep["lidar"]["count"] == 8
+        assert abs(rep["lidar"]["rate_hz"] - 1.0) < 1e-6
+        assert rep["odom"]["count"] == 32
+        assert rep["odometry_distance_m"] > 10
+
+    def test_view_solutions(self, diag_dataset):
+        from lidar_slam_arvc_tpu.viz.diagnostics import view_solutions
+        d, info = diag_dataset
+        rep = view_solutions(d)
+        assert rep["poses"] == 8
+        # gt solution vs gps (0.05 m noise): end point error small
+        assert rep["end_point_error_m"] < 0.5
+        import os
+        assert os.path.exists(f"{d}/robot0/viz/solution_vs_gps.png")
+
+    def test_compare_solutions(self, diag_dataset):
+        from lidar_slam_arvc_tpu.viz.diagnostics import compare_solutions
+        d, info = diag_dataset
+        rep = compare_solutions(d)
+        assert rep["steps"] == 7
+        assert rep["delta_error_mean_m"] < 0.3
+
+    def test_view_raw_data(self, diag_dataset):
+        from lidar_slam_arvc_tpu.viz.diagnostics import view_raw_data
+        d, info = diag_dataset
+        rep = view_raw_data(d)
+        assert rep["odom_rows"] == 32 and rep["gps_rows"] == 8
+
+
+class TestProfiling:
+    def test_stage_timer(self):
+        import time
+        from lidar_slam_arvc_tpu.utils.profiling import StageTimer
+        t = StageTimer()
+        with t.stage("icp", items=10):
+            time.sleep(0.01)
+        rep = t.report()
+        assert rep["icp"]["items"] == 10
+        assert rep["icp"]["seconds"] >= 0.01
+        assert t.rate("icp") > 0
