@@ -23,7 +23,6 @@ from lidar_slam_arvc_tpu.graph import PoseGraph
 from lidar_slam_arvc_tpu.io import EurocDataset, filter_gps, gps2utm
 from lidar_slam_arvc_tpu.io.euroc import trajectory_from_df
 from lidar_slam_arvc_tpu.loop import LoopCloser
-from lidar_slam_arvc_tpu.pipeline.scanmatcher import load_scans, preprocess_all
 from lidar_slam_arvc_tpu.registration import ICPParams
 from lidar_slam_arvc_tpu.utils.config import IcpConfig
 
@@ -109,11 +108,12 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
     if loops_enabled:
         # full-resolution clouds for loop-closure ICP (voxel None —
         # run_graphSLAM.py:224); preprocessed once, batched
-        raw_pts, raw_mask = load_scans(euroc, scan_times, cfg.raw_capacity)
-        pts, mask, normals, _, _ = preprocess_all(
-            raw_pts, raw_mask, cfg, method="icppointplane", voxel_size=None)
+        from lidar_slam_arvc_tpu.keyframes import KeyframeStore
+        store = KeyframeStore(directory, scan_times, voxel_size=None,
+                              method="icppointplane", cfg=cfg)
+        store.load_and_preprocess()
         closer = LoopCloser(
-            graph, pts, mask, normals,
+            graph, store.points, store.mask, store.normals,
             distance_backwards=distance_backwards,
             radius_threshold=radius_threshold,
             icp_params=ICPParams(

@@ -173,3 +173,37 @@ class TestOtherMethods:
             out["relative"][:, :3, 3] - rel_gt[: len(out["relative"]), :3, 3],
             axis=1)
         assert (per_pair < 0.5).mean() > 0.6, per_pair
+
+
+class TestKeyframeStore:
+    """KeyFrameManager-equivalent API (keyframemanager.py:8-184)."""
+
+    def test_store_registration(self, dataset):
+        import jax.numpy as jnp
+        from lidar_slam_arvc_tpu.keyframes import KeyframeStore
+        d, info = dataset
+        euroc = EurocDataset(d)
+        df = euroc.read_csv("/robot0/lidar/data.csv")
+        times = df["#timestamp [ns]"].to_numpy()
+        store = KeyframeStore(d, times, voxel_size=0.2,
+                              method="icppointplane",
+                              cfg=IcpConfig(raw_capacity=8192, capacity=4096,
+                                            batch_size=4, max_iterations=15))
+        store.load_and_preprocess()
+        assert len(store) == N_SCANS
+        assert store.memory_bytes() > 0
+        rel_gt = (np.linalg.inv(info["T_gt"][0]) @ info["T_gt"][1])
+        T = store.compute_transformation(0, 1, rel_gt)
+        assert np.linalg.norm(T[:3, 3] - rel_gt[:3, 3]) < 0.1
+
+    def test_store_sampling(self, dataset):
+        from lidar_slam_arvc_tpu.keyframes import KeyframeStore
+        d, info = dataset
+        euroc = EurocDataset(d)
+        df = euroc.read_csv("/robot0/lidar/data.csv")
+        times = df["#timestamp [ns]"].to_numpy()
+        store = KeyframeStore(d, times, voxel_size=0.3,
+                              cfg=IcpConfig(raw_capacity=8192, capacity=2048,
+                                            batch_size=4))
+        store.load_and_preprocess(keyframe_sampling=3)
+        assert len(store) == len(times[::3])
