@@ -103,12 +103,26 @@ class PoseGraph:
             pr_winv=jnp.asarray(self.pr_winv),
         )
 
-    def optimize(self, max_iterations: int = 15) -> float:
+    def optimize(self, max_iterations: int = 15,
+                 solver: str = "auto") -> float:
         """Batch LM re-solve of the whole graph (replaces isam.update,
-        reference graphSLAM.py:102-105)."""
-        poses, cost = solve_graph(jnp.asarray(self.poses),
-                                  self._factor_data(), self.n_poses,
-                                  max_iterations=max_iterations)
+        reference graphSLAM.py:102-105).
+
+        solver: 'dense' (Cholesky on the full 6Nx6N normal equations),
+        'pcg' (matrix-free block-Jacobi preconditioned CG), or 'auto'
+        (dense up to 1024-pose capacity, PCG beyond).
+        """
+        if solver == "auto":
+            solver = "dense" if self.max_poses <= 1024 else "pcg"
+        if solver == "pcg":
+            from lidar_slam_arvc_tpu.graph.pcg import solve_graph_pcg
+            poses, cost = solve_graph_pcg(jnp.asarray(self.poses),
+                                          self._factor_data(), self.n_poses,
+                                          max_iterations=max_iterations)
+        else:
+            poses, cost = solve_graph(jnp.asarray(self.poses),
+                                      self._factor_data(), self.n_poses,
+                                      max_iterations=max_iterations)
         self.poses = np.array(poses)  # writable host copy
         return cost
 

@@ -1,0 +1,177 @@
+"""Matrix-free preconditioned conjugate gradient for large pose graphs.
+
+The dense (6N, 6N) Cholesky in solver.py is ideal up to ~1-2k poses; beyond
+that the normal equations are solved matrix-free: per-LM-step the factor
+Jacobian blocks (A, B per between edge, J per unary) are evaluated once, and
+H @ x products are gather/scatter block einsums — O(E) 6x6 work with no
+materialized matrix.  Preconditioner: block-Jacobi (the 6x6 diagonal blocks
+of H, batch-inverted).  This is also the building block the distributed
+solver scales with: the block products shard over edges exactly like
+parallel/dist_solver.py's assembly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lidar_slam_arvc_tpu import geom
+from lidar_slam_arvc_tpu.graph.factors import FactorData
+from lidar_slam_arvc_tpu.graph.solver import (
+    _between_residuals, _gps_residuals, _prior_residuals, graph_cost,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class _LinearizedGraph(NamedTuple):
+    """Per-step linearization: Jacobian blocks + weighted residual gradient."""
+    A: jax.Array        # (E,6,6) between d r / d xi_i
+    B: jax.Array        # (E,6,6) between d r / d xi_j
+    w2_bt: jax.Array    # (E,6)
+    Jg: jax.Array       # (G,3,6)
+    w2_g: jax.Array     # (G,3)
+    Jp: jax.Array       # (P,6,6)
+    w2_p: jax.Array     # (P,6)
+    grad: jax.Array     # (N,6) J^T W^2 r
+    diag_blocks: jax.Array  # (N,6,6) block-diagonal of H
+
+
+def _linearize(poses, factors: FactorData, n_active):
+    N = poses.shape[0]
+    r_b, A, B = _between_residuals(poses, factors)
+    w2_bt = factors.bt_winv ** 2
+    r_g, Jg = _gps_residuals(poses, factors)
+    w2_g = factors.gps_winv ** 2
+    r_p, Jp = _prior_residuals(poses, factors)
+    w2_p = factors.pr_winv ** 2
+
+    grad = jnp.zeros((N, 6), dtype=poses.dtype)
+    zb = w2_bt * r_b
+    grad = grad.at[factors.bt_i].add(
+        jnp.einsum("eba,eb->ea", A, zb, precision=_HI))
+    grad = grad.at[factors.bt_j].add(
+        jnp.einsum("eba,eb->ea", B, zb, precision=_HI))
+    zg = w2_g * r_g
+    grad = grad.at[factors.gps_i].add(
+        jnp.einsum("eba,eb->ea", Jg, zg, precision=_HI))
+    zp = w2_p * r_p
+    grad = grad.at[factors.pr_i].add(
+        jnp.einsum("eba,eb->ea", Jp, zp, precision=_HI))
+
+    diag = jnp.zeros((N, 6, 6), dtype=poses.dtype)
+    AtWA = jnp.einsum("eba,eb,ebc->eac", A, w2_bt, A, precision=_HI)
+    BtWB = jnp.einsum("eba,eb,ebc->eac", B, w2_bt, B, precision=_HI)
+    diag = diag.at[factors.bt_i].add(AtWA)
+    diag = diag.at[factors.bt_j].add(BtWB)
+    diag = diag.at[factors.gps_i].add(
+        jnp.einsum("eba,eb,ebc->eac", Jg, w2_g, Jg, precision=_HI))
+    diag = diag.at[factors.pr_i].add(
+        jnp.einsum("eba,eb,ebc->eac", Jp, w2_p, Jp, precision=_HI))
+
+    # inactive poses pinned with identity
+    inactive = (jnp.arange(N) >= n_active)
+    diag = diag + inactive[:, None, None] * jnp.eye(6, dtype=poses.dtype)
+    grad = jnp.where(inactive[:, None], 0.0, grad)
+    return _LinearizedGraph(A, B, w2_bt, Jg, w2_g, Jp, w2_p, grad, diag), (
+        factors.bt_i, factors.bt_j, factors.gps_i, factors.pr_i, inactive)
+
+
+def _hx(lin: _LinearizedGraph, idx, x, lam):
+    """(H + lam * blockdiag(H)) @ x for x (N,6)."""
+    bt_i, bt_j, gps_i, pr_i, inactive = idx
+    N = x.shape[0]
+    y = jnp.zeros_like(x)
+    u = (jnp.einsum("eab,eb->ea", lin.A, x[bt_i], precision=_HI)
+         + jnp.einsum("eab,eb->ea", lin.B, x[bt_j], precision=_HI))
+    z = lin.w2_bt * u
+    y = y.at[bt_i].add(jnp.einsum("eba,eb->ea", lin.A, z, precision=_HI))
+    y = y.at[bt_j].add(jnp.einsum("eba,eb->ea", lin.B, z, precision=_HI))
+
+    ug = jnp.einsum("eab,eb->ea", lin.Jg, x[gps_i], precision=_HI)
+    y = y.at[gps_i].add(
+        jnp.einsum("eba,eb->ea", lin.Jg, lin.w2_g * ug, precision=_HI))
+
+    up = jnp.einsum("eab,eb->ea", lin.Jp, x[pr_i], precision=_HI)
+    y = y.at[pr_i].add(
+        jnp.einsum("eba,eb->ea", lin.Jp, lin.w2_p * up, precision=_HI))
+
+    y = y + inactive[:, None] * x
+    # Marquardt damping on the block diagonal
+    y = y + lam * jnp.einsum("nab,nb->na", lin.diag_blocks, x, precision=_HI)
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("max_cg_iters",))
+def pcg_lm_step(poses, factors: FactorData, n_active, lam,
+                max_cg_iters: int = 200, rtol: float = 1e-6):
+    """One damped GN step solved by block-Jacobi PCG; returns (poses, cost)."""
+    n_active = jnp.asarray(n_active, dtype=jnp.int32)
+    lin, idx = _linearize(poses, factors, n_active)
+    b = -lin.grad  # solve H delta = -grad
+
+    # block-Jacobi preconditioner with damping folded in
+    M = lin.diag_blocks * (1.0 + lam) + 1e-8 * jnp.eye(6, dtype=poses.dtype)
+    M_inv = jnp.linalg.inv(M)
+    apply_M = lambda r: jnp.einsum("nab,nb->na", M_inv, r, precision=_HI)
+
+    def dot(a, b_):
+        return jnp.sum(a * b_)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b  # since x0 = 0
+    z0 = apply_M(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    b_norm2 = jnp.maximum(dot(b, b), 1e-30)
+
+    def cond(state):
+        k, x, r, p, rz = state
+        return (k < max_cg_iters) & (dot(r, r) > rtol * rtol * b_norm2)
+
+    def body(state):
+        k, x, r, p, rz = state
+        Hp = _hx(lin, idx, p, lam)
+        alpha = rz / jnp.maximum(dot(p, Hp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = apply_M(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return k + 1, x, r, p, rz_new
+
+    _, delta, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, p0, rz0))
+
+    active = (jnp.arange(poses.shape[0]) < n_active)[:, None]
+    delta = jnp.where(active, delta, 0.0)
+    new_poses = geom.compose(poses, geom.se3_exp(delta))
+    return new_poses, graph_cost(new_poses, factors)
+
+
+def solve_graph_pcg(poses, factors: FactorData, n_active,
+                    max_iterations: int = 15, lam0: float = 1e-6,
+                    tol: float = 1e-7, max_cg_iters: int = 200):
+    """LM loop around PCG steps (same accept/reject policy as solve_graph)."""
+    cost = float(graph_cost(poses, factors))
+    lam = lam0
+    for _ in range(max_iterations):
+        cand, cand_cost = pcg_lm_step(poses, factors, n_active,
+                                      jnp.float32(lam),
+                                      max_cg_iters=max_cg_iters)
+        cand_cost = float(cand_cost)
+        if not (cand_cost < cost) or not jnp.isfinite(cand_cost):
+            lam = min(lam * 10.0, 1e4)
+            if lam >= 1e4:
+                break
+            continue
+        improved = cost - cand_cost
+        poses, cost = cand, cand_cost
+        lam = max(lam / 5.0, 1e-9)
+        if improved < tol * max(cost, 1.0):
+            break
+    return poses, cost

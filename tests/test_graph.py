@@ -119,3 +119,44 @@ class TestPoseGraph:
         np.testing.assert_allclose(s.odo[:3], np.deg2rad(3.0))
         np.testing.assert_allclose(s.odo[3:], 0.05)
         np.testing.assert_allclose(s.gps, [2.5, 2.5, 3.0])
+
+
+class TestPCGSolver:
+    """Matrix-free PCG vs dense Cholesky (graph/pcg.py)."""
+
+    def _drifted_graph(self, n=60, cap=64):
+        rng = np.random.default_rng(5)
+        T_gt = synthetic.make_trajectory(n, radius=8.0)
+        g = PoseGraph(max_poses=cap, max_between=4 * cap, max_gps=cap)
+        g.init_graph()
+        drift = synthetic._yaw_T(0.02, 0.0, 0.004)
+        for i in range(n - 1):
+            rel = (np.linalg.inv(T_gt[i]) @ T_gt[i + 1]) @ drift
+            g.add_initial_estimate(rel, i + 1)
+            g.add_edge(rel, i, i + 1, "SM")
+        for (i, j) in [(0, n - 2), (1, n - 1), (2, n - 2)]:
+            g.add_edge(np.linalg.inv(T_gt[i]) @ T_gt[j], i, j, "SM")
+        for i in range(0, n, 6):
+            z = T_gt[i][:3, 3]
+            g.add_gps_factor(z[0], z[1], z[2], i)
+        return g, T_gt
+
+    def test_pcg_matches_dense(self):
+        import copy
+        g1, T_gt = self._drifted_graph()
+        g2 = copy.deepcopy(g1)
+        c_dense = g1.optimize(max_iterations=25, solver="dense")
+        c_pcg = g2.optimize(max_iterations=25, solver="pcg")
+        # same optimum (costs equal within f32 tolerance)
+        assert abs(c_dense - c_pcg) < 0.05 * max(abs(c_dense), 1.0), (
+            c_dense, c_pcg)
+        e1 = ate(g1.current_estimate, T_gt)["rmse"]
+        e2 = ate(g2.current_estimate, T_gt)["rmse"]
+        assert abs(e1 - e2) < 0.02, (e1, e2)
+
+    def test_auto_selects_pcg_for_large_capacity(self):
+        g, T_gt = self._drifted_graph(n=60, cap=2048)
+        before = ate(g.current_estimate, T_gt)["rmse"]
+        g.optimize(max_iterations=20)  # auto -> pcg at cap 2048
+        after = ate(g.current_estimate, T_gt)["rmse"]
+        assert after < before
