@@ -15,6 +15,7 @@ parallel.sharded_icp shards across a device mesh.
 from __future__ import annotations
 
 import concurrent.futures
+import os
 import time
 
 import numpy as np
@@ -132,11 +133,18 @@ def preprocess_all(raw_pts, raw_mask, cfg: IcpConfig, method: str,
 def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
                       cfg: IcpConfig, method: str,
                       ground_mask=None, nonground_mask=None,
-                      progress: bool = True) -> np.ndarray:
+                      progress: bool = True,
+                      checkpoint_path: str | None = None,
+                      checkpoint_key: int | None = None) -> np.ndarray:
     """Batched ICP over consecutive pairs; returns (N-1,4,4) refined T_i_i+1.
 
     Source = scan i+1, target = scan i (reference keyframemanager.py:52-75
     direction: result maps source j into target i's frame).
+
+    With ``checkpoint_path``, completed batches are persisted after each
+    dispatch and a matching checkpoint (same ``checkpoint_key``, derived
+    from the scan times) resumes mid-stage — finer-grained than the
+    reference's stage-level CSV durability (SURVEY.md §5).
     """
     n_pairs = points.shape[0] - 1
     B = cfg.batch_size
@@ -156,8 +164,25 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
         [T_seeds, np.tile(np.eye(4), (pad, 1, 1))]).astype(np.float32)
 
     out = np.empty((n_pairs, 4, 4), dtype=np.float64)
+    start_batch = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        try:
+            ck = np.load(checkpoint_path)
+            if (int(ck["key"]) == int(checkpoint_key)
+                    and int(ck["n_pairs"]) == n_pairs
+                    and int(ck["batch_size"]) == B):
+                done = int(ck["batches_done"])
+                out[: min(done * B, n_pairs)] = ck["transforms"][
+                    : min(done * B, n_pairs)]
+                start_batch = done
+                if progress:
+                    print(f"resuming scanmatch from batch {done} "
+                          f"({min(done * B, n_pairs)}/{n_pairs} pairs)")
+        except Exception:
+            pass  # unreadable checkpoint: recompute from scratch
+
     t0 = time.time()
-    for b in range(len(idx_src) // B):
+    for b in range(start_batch, len(idx_src) // B):
         sl = slice(b * B, (b + 1) * B)
         si, ti = idx_src[sl], idx_tgt[sl]
         if method == "fpfh":
@@ -193,6 +218,9 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
         Tb = np.asarray(res.transform, dtype=np.float64)
         hi = min((b + 1) * B, n_pairs)
         out[b * B:hi] = Tb[: hi - b * B]
+        if checkpoint_path is not None:
+            np.savez(checkpoint_path, key=checkpoint_key, n_pairs=n_pairs,
+                     batch_size=B, batches_done=b + 1, transforms=out)
         if progress:
             done = hi
             dt = time.time() - t0
@@ -228,10 +256,20 @@ def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
               f"in {time.time() - t_load:.2f}s")
 
     t_icp = time.time()
+    ck_dir = f"{directory}/robot0/scanmatcher"
+    os.makedirs(ck_dir, exist_ok=True)
+    ck_key = int(np.int64(np.sum(scan_times)) & 0x7FFFFFFF)
     rel_sm = match_consecutive(points, mask, normals, rel_odo, cfg, method,
                                ground_mask=g, nonground_mask=ng,
-                               progress=progress)
+                               progress=progress,
+                               checkpoint_path=f"{ck_dir}/checkpoint.npz",
+                               checkpoint_key=ck_key)
     icp_seconds = time.time() - t_icp
+    # stage complete: remove the mid-stage checkpoint
+    try:
+        os.remove(f"{ck_dir}/checkpoint.npz")
+    except FileNotFoundError:
+        pass
 
     # fold to global in float64 on host (long-trajectory accuracy; cheap)
     T_global = np.empty((len(rel_sm) + 1, 4, 4))

