@@ -199,3 +199,32 @@ class TestGroundPlane:
         gmask = np.asarray(g.mask)
         assert gmask[:1000].mean() > 0.95      # ground captured
         assert np.asarray(ng.mask)[1000:1500].mean() > 0.9  # walls kept out
+
+
+class TestPallasNN:
+    """Pallas NN kernel vs the XLA formulation (interpret mode on CPU)."""
+
+    def test_matches_xla(self, rng):
+        from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
+        src = rng.normal(size=(300, 3)).astype(np.float32) * 10
+        tgt = rng.normal(size=(500, 3)).astype(np.float32) * 10
+        mask = np.ones(500, dtype=bool)
+        mask[100:150] = False
+        i1, d1 = nn_search(jnp.asarray(src), jnp.asarray(tgt),
+                           jnp.asarray(mask), src_block=128, tgt_block=128)
+        i2, d2 = nn_search_pallas(jnp.asarray(src), jnp.asarray(tgt),
+                                  jnp.asarray(mask), src_block=128,
+                                  tgt_block=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
+
+    def test_non_multiple_shapes(self, rng):
+        from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
+        src = rng.normal(size=(77, 3)).astype(np.float32)
+        tgt = rng.normal(size=(131, 3)).astype(np.float32)
+        i2, d2 = nn_search_pallas(jnp.asarray(src), jnp.asarray(tgt),
+                                  jnp.ones(131, dtype=bool), src_block=64,
+                                  tgt_block=128, interpret=True)
+        from scipy.spatial import cKDTree
+        _, i_ref = cKDTree(tgt).query(src)
+        np.testing.assert_array_equal(np.asarray(i2), i_ref)
