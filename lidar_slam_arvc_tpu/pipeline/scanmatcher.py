@@ -216,6 +216,12 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
                             normals[ti], jnp.asarray(seeds[sl]),
                             params, icp_method)
         Tb = np.asarray(res.transform, dtype=np.float64)
+        fit = np.asarray(res.fitness)
+        # failure detection: diverged/void registrations fall back to the
+        # odometry seed rather than corrupting the trajectory
+        bad = fit < cfg.min_fitness
+        if bad.any():
+            Tb[bad] = seeds[sl][bad].astype(np.float64)
         hi = min((b + 1) * B, n_pairs)
         out[b * B:hi] = Tb[: hi - b * B]
         if checkpoint_path is not None:

@@ -39,6 +39,10 @@ class IcpConfig:
     # noise; the reference's 0.3 works only on its full-resolution clouds.
     fpfh_radius: float = 1.0
     # TPU shape policy (no reference counterpart)
+    # failure detection: if a pair's ICP inlier fraction falls below this,
+    # keep the odometry seed instead of the (likely diverged) ICP result.
+    # The reference has no such gate (SURVEY.md §5: failures abort the run).
+    min_fitness: float = 0.1
     raw_capacity: int = 65536       # padded size of a loaded scan
     capacity: int = 16384           # padded size after crop+voxel downsample
     max_iterations: int = 30

@@ -258,3 +258,26 @@ class TestCheckpointResume:
                                 checkpoint_path=ck, checkpoint_key=7)
         # garbage must not leak through
         assert np.abs(out[0][:3, 3]).sum() > 0
+
+
+class TestFailureDetection:
+    def test_disjoint_pair_falls_back_to_seed(self):
+        """Registration of non-overlapping clouds keeps the odometry seed
+        (failure detection, IcpConfig.min_fitness)."""
+        import jax.numpy as jnp
+        from lidar_slam_arvc_tpu.pipeline.scanmatcher import match_consecutive
+        rng = np.random.default_rng(0)
+        cfg = IcpConfig(raw_capacity=512, capacity=512, batch_size=1,
+                        max_iterations=5, distance_threshold=2.0,
+                        min_fitness=0.3)
+        # two clusters 1000 m apart: zero correspondences within the gate
+        a = rng.normal(size=(256, 3)).astype(np.float32)
+        b = rng.normal(size=(256, 3)).astype(np.float32) + 1000.0
+        pts = jnp.stack([jnp.asarray(a), jnp.asarray(b)])
+        mask = jnp.ones((2, 256), dtype=bool)
+        normals = jnp.zeros((2, 256, 3)).at[:, :, 2].set(1.0)
+        seed = np.eye(4)[None].copy()
+        seed[0, 0, 3] = 123.0  # recognizable seed translation
+        out = match_consecutive(pts, mask, normals, seed, cfg,
+                                "icppointplane", progress=False)
+        np.testing.assert_allclose(out[0], seed[0], atol=1e-5)
