@@ -39,10 +39,14 @@ def _nn_kernel(src_ref, tgt_ref, t2_ref, out_d2_ref, out_idx_ref,
 
     src = src_ref[:]                        # (BS, 3)
     tgt = tgt_ref[:]                        # (BT, 3)
-    # score = ||t||^2 - 2 s.t  (||s||^2 added after the sweep)
+    # score = ||t||^2 - 2 s.t  (||s||^2 added after the sweep).
+    # Precision.HIGHEST is essential: the MXU default rounds inputs to
+    # bfloat16, which at ~30 m coordinates perturbs scores by units and
+    # corrupts the argmin.
     cross = jax.lax.dot_general(
         src, tgt, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (BS, BT)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (BS, BT)
     score = t2_ref[:] - 2.0 * cross          # t2 broadcast (1, BT)
 
     tile_min = jnp.min(score, axis=1, keepdims=True)            # (BS, 1)

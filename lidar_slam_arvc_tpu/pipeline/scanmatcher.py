@@ -130,6 +130,27 @@ def preprocess_all(raw_pts, raw_mask, cfg: IcpConfig, method: str,
     return points, mask, normals, g, ng
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("params", "method", "batch"))
+def _match_all_fused(points, mask, normals, idx_src, idx_tgt, seeds,
+                     params, method, batch):
+    """All scan pairs in one program: lax.map over batch groups of icp_batch."""
+    gs = idx_src.reshape(-1, batch)
+    gt = idx_tgt.reshape(-1, batch)
+    gseeds = seeds.reshape(-1, batch, 4, 4)
+
+    def per_group(args):
+        si, ti, sd = args
+        res = icp_batch(points[si], mask[si], points[ti], mask[ti],
+                        normals[ti], sd, params, method)
+        return res.transform, res.fitness
+
+    T, fit = jax.lax.map(per_group, (gs, gt, gseeds))
+    return T.reshape(-1, 4, 4), fit.reshape(-1)
+
+
 def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
                       cfg: IcpConfig, method: str,
                       ground_mask=None, nonground_mask=None,
@@ -162,6 +183,24 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
                               np.full(pad, n_pairs)])
     seeds = np.concatenate(
         [T_seeds, np.tile(np.eye(4), (pad, 1, 1))]).astype(np.float32)
+
+    # Fast path: without checkpointing, plain ICP methods run the WHOLE
+    # stage as one device dispatch (lax.map over batch groups inside jit).
+    # This matters twice: remote/tunneled TPUs pay tens of ms per dispatch,
+    # and even locally one program gives XLA the full pipeline to overlap.
+    if (checkpoint_path is None
+            and method in ("icppointplane", "icppointpoint")):
+        T_all, fit = _match_all_fused(
+            points, mask, normals, jnp.asarray(idx_src), jnp.asarray(idx_tgt),
+            jnp.asarray(seeds), params, icp_method, B)
+        T_all = np.asarray(T_all, dtype=np.float64)[:n_pairs]
+        fit = np.asarray(fit)[:n_pairs]
+        bad = fit < cfg.min_fitness
+        if bad.any():
+            T_all[bad] = seeds[:n_pairs][bad].astype(np.float64)
+        if progress:
+            print(f"scanmatch pairs {n_pairs}/{n_pairs} (fused dispatch)")
+        return T_all
 
     out = np.empty((n_pairs, 4, 4), dtype=np.float64)
     start_batch = 0
@@ -262,20 +301,25 @@ def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
               f"in {time.time() - t_load:.2f}s")
 
     t_icp = time.time()
-    ck_dir = f"{directory}/robot0/scanmatcher"
-    os.makedirs(ck_dir, exist_ok=True)
-    ck_key = int(np.int64(np.sum(scan_times)) & 0x7FFFFFFF)
+    if cfg.checkpoint_batches > 0:
+        ck_dir = f"{directory}/robot0/scanmatcher"
+        os.makedirs(ck_dir, exist_ok=True)
+        ck_path = f"{ck_dir}/checkpoint.npz"
+        ck_key = int(np.int64(np.sum(scan_times)) & 0x7FFFFFFF)
+    else:
+        ck_path, ck_key = None, None
     rel_sm = match_consecutive(points, mask, normals, rel_odo, cfg, method,
                                ground_mask=g, nonground_mask=ng,
                                progress=progress,
-                               checkpoint_path=f"{ck_dir}/checkpoint.npz",
+                               checkpoint_path=ck_path,
                                checkpoint_key=ck_key)
     icp_seconds = time.time() - t_icp
     # stage complete: remove the mid-stage checkpoint
-    try:
-        os.remove(f"{ck_dir}/checkpoint.npz")
-    except FileNotFoundError:
-        pass
+    if ck_path is not None:
+        try:
+            os.remove(ck_path)
+        except FileNotFoundError:
+            pass
 
     # fold to global in float64 on host (long-trajectory accuracy; cheap)
     T_global = np.empty((len(rel_sm) + 1, 4, 4))

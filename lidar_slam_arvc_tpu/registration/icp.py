@@ -47,6 +47,11 @@ class ICPParams(NamedTuple):
     # occlusions); the adaptive kernel anneals those out as the fit
     # tightens.  Set robust=False for strict reference parity.
     robust: bool = True
+    # Early exit: stop when the se(3) update norm falls below this
+    # (Open3D's criteria stop on relative fitness/rmse 1e-6 similarly;
+    # reference keyframe.py:246-252 uses the defaults).  Under vmap the
+    # batch runs until every pair converges.  0 disables early exit.
+    convergence_tol: float = 1e-5
 
 
 class ICPResult(NamedTuple):
@@ -108,7 +113,7 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
     src_mask_f = src.mask.astype(src_pts.dtype)
     tgt_normals = tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.points)
 
-    def body(_, T):
+    def step(T):
         p = geom.transform_points(T, src_pts)
         idx, d2 = nn_search(p, tgt.points, tgt.mask,
                             src_block=params.src_block,
@@ -133,10 +138,24 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
         xi = jnp.linalg.solve(H + damp * jnp.eye(6, dtype=H.dtype), b)
         # guard: if the solve produced non-finite values keep T unchanged
         xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
-        return geom.compose(geom.se3_exp(xi), T)
+        return geom.compose(geom.se3_exp(xi), T), jnp.linalg.norm(xi)
 
-    T = jax.lax.fori_loop(0, params.max_iterations, body, T_init,
-                          unroll=False)
+    if params.convergence_tol > 0:
+        def cond(state):
+            _, it, delta = state
+            return (it < params.max_iterations) & (delta > params.convergence_tol)
+
+        def while_body(state):
+            T, it, _ = state
+            T_new, delta = step(T)
+            return T_new, it + 1, delta
+
+        T, _, _ = jax.lax.while_loop(
+            cond, while_body,
+            (T_init, jnp.int32(0), jnp.float32(jnp.inf)))
+    else:
+        T = jax.lax.fori_loop(0, params.max_iterations,
+                              lambda _, T: step(T)[0], T_init, unroll=False)
 
     # final metrics at the converged transform
     p = geom.transform_points(T, src_pts)

@@ -43,6 +43,10 @@ class IcpConfig:
     # keep the odometry seed instead of the (likely diverged) ICP result.
     # The reference has no such gate (SURVEY.md §5: failures abort the run).
     min_fitness: float = 0.1
+    # mid-stage checkpointing: 0 = off (enables the fused single-dispatch
+    # scan-matching path); >0 persists progress after every batch so an
+    # interrupted run resumes (costs one host sync per batch).
+    checkpoint_batches: int = 0
     raw_capacity: int = 65536       # padded size of a loaded scan
     capacity: int = 16384           # padded size after crop+voxel downsample
     max_iterations: int = 30
