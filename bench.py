@@ -52,10 +52,13 @@ def build_workload():
 
 
 def run_device(scans, seeds):
+    """Timed with full host round trips (np.asarray) — block_until_ready is
+    not trustworthy through remote-execution backends."""
     import jax
     import jax.numpy as jnp
     from lidar_slam_arvc_tpu import cloud as cl
-    from lidar_slam_arvc_tpu.registration import ICPParams, icp_batch
+    from lidar_slam_arvc_tpu.pipeline.scanmatcher import _match_all_fused
+    from lidar_slam_arvc_tpu.registration import ICPParams
 
     cap_raw = CAP_RAW
     cap = CAP
@@ -68,36 +71,34 @@ def run_device(scans, seeds):
         c = cl.voxel_downsample(c, VOXEL, out_capacity=cap)
         return cl.estimate_normals(c, radius=0.3)
 
-    # build preprocessed stacks (timed: preprocessing is part of the frame)
     t_pre0 = time.time()
     clouds = [prep(s) for s in scans]
     pts = jnp.stack([c.points for c in clouds])
     mask = jnp.stack([c.mask for c in clouds])
     normals = jnp.stack([c.normals for c in clouds])
-    jax.block_until_ready(normals)
+    np.asarray(normals[0, 0])  # force completion
     t_pre = time.time() - t_pre0
 
     n_pairs = N_SCANS - 1
-    si = np.arange(1, N_SCANS)
-    ti = np.arange(0, n_pairs)
-    seeds_j = jnp.asarray(seeds)
+    pad = (-n_pairs) % BATCH
+    idx_src = jnp.asarray(np.concatenate(
+        [np.arange(1, n_pairs + 1), np.full(pad, n_pairs)]))
+    idx_tgt = jnp.asarray(np.concatenate(
+        [np.arange(0, n_pairs), np.full(pad, n_pairs)]))
+    seeds_j = jnp.asarray(np.concatenate(
+        [seeds, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))]))
 
     def run_all():
-        outs = []
-        for b in range(n_pairs // BATCH):
-            sl = slice(b * BATCH, (b + 1) * BATCH)
-            res = icp_batch(pts[si[sl]], mask[si[sl]], pts[ti[sl]],
-                            mask[ti[sl]], normals[ti[sl]], seeds_j[sl],
-                            params, "point_to_plane")
-            outs.append(res.transform)
-        return jax.block_until_ready(jnp.concatenate(outs))
+        T, fit = _match_all_fused(pts, mask, normals, idx_src, idx_tgt,
+                                  seeds_j, params, "point_to_plane", BATCH)
+        return np.asarray(T)  # host transfer = hard completion barrier
 
     run_all()               # warmup/compile
     t0 = time.time()
     T_out = run_all()
     t_icp = time.time() - t0
-    fps = (n_pairs // BATCH) * BATCH / t_icp
-    return fps, t_icp, t_pre, np.asarray(T_out)
+    fps = n_pairs / t_icp
+    return fps, t_icp, t_pre, T_out[:n_pairs]
 
 
 def run_cpu_baseline(scans, seeds):
