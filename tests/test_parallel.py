@@ -88,3 +88,23 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestMultihost:
+    def test_initialize_single_process(self):
+        from lidar_slam_arvc_tpu.parallel import multihost
+        rep = multihost.initialize()
+        assert rep["process_count"] == 1
+        assert rep["global_devices"] >= 1
+
+    def test_host_scan_shard_partition(self):
+        from lidar_slam_arvc_tpu.parallel.multihost import host_scan_shard
+        n = 103
+        shards = [host_scan_shard(n, pi, 4) for pi in range(4)]
+        # union covers all scans; consecutive pairs computable per shard
+        covered = set()
+        for s in shards:
+            covered.update(s.tolist())
+        assert covered == set(range(n))
+        # overlap: every shard after the first starts one before its block
+        assert shards[1][0] == shards[0][-1]
