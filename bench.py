@@ -65,17 +65,23 @@ def run_device(scans, seeds):
     params = ICPParams(max_correspondence_distance=10.0,
                        max_iterations=ICP_ITERS)
 
-    def prep(scan):
-        c = cl.from_numpy(scan, cap_raw)
-        c = cl.crop_radius_height(c, 0.5, 35.0, -1.0, 50.0)
-        c = cl.voxel_downsample(c, VOXEL, out_capacity=cap)
-        return cl.estimate_normals(c, radius=0.3)
+    # One jitted program for the whole batched preprocess (every extra
+    # program costs minutes of compile through remote-execution tunnels).
+    @jax.jit
+    def prep_all(raw_pts, raw_mask):
+        def one(p, m):
+            c = cl.Cloud(p, m)
+            c = cl.crop_radius_height(c, 0.5, 35.0, -1.0, 50.0)
+            c = cl.voxel_downsample(c, VOXEL, out_capacity=cap)
+            c = cl.estimate_normals(c, radius=0.3)
+            return c.points, c.mask, c.normals
+        return jax.vmap(one)(raw_pts, raw_mask)
 
     t_pre0 = time.time()
-    clouds = [prep(s) for s in scans]
-    pts = jnp.stack([c.points for c in clouds])
-    mask = jnp.stack([c.mask for c in clouds])
-    normals = jnp.stack([c.normals for c in clouds])
+    stacked = [cl.from_numpy(s, cap_raw) for s in scans]
+    raw_pts = jnp.stack([c.points for c in stacked])
+    raw_mask = jnp.stack([c.mask for c in stacked])
+    pts, mask, normals = prep_all(raw_pts, raw_mask)
     np.asarray(normals[0, 0])  # force completion
     t_pre = time.time() - t_pre0
 
