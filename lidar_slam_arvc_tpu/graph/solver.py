@@ -19,8 +19,6 @@ identity-prior rows with tiny weight added implicitly via mask handling.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from lidar_slam_arvc_tpu.geom.hostmath import rot_to_quat_np
 from lidar_slam_arvc_tpu.registration import ICPParams, icp_batch
 
 

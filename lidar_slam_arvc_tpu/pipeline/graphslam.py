@@ -16,9 +16,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
-import jax.numpy as jnp
 
-from lidar_slam_arvc_tpu.geom.hostmath import transforms_from_pose_columns_np
 from lidar_slam_arvc_tpu.graph import PoseGraph
 from lidar_slam_arvc_tpu.io import EurocDataset, filter_gps, gps2utm
 from lidar_slam_arvc_tpu.io.euroc import trajectory_from_df

@@ -22,7 +22,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from lidar_slam_arvc_tpu import geom
 from lidar_slam_arvc_tpu.cloud import from_numpy
 from lidar_slam_arvc_tpu.geom.hostmath import transforms_from_pose_columns_np
 from lidar_slam_arvc_tpu.io import EurocDataset, read_pcd, sample_times

@@ -15,9 +15,7 @@ import os
 import numpy as np
 import yaml
 
-from lidar_slam_arvc_tpu.geom.hostmath import (
-    pose_columns_from_transforms_np, rot_to_quat_np,
-)
+from lidar_slam_arvc_tpu.geom.hostmath import pose_columns_from_transforms_np
 from lidar_slam_arvc_tpu.io.pcd import write_pcd
 
 

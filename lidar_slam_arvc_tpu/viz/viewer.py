@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from lidar_slam_arvc_tpu.io import EurocDataset
 from lidar_slam_arvc_tpu.viz.mapping import build_map, write_ply
 from lidar_slam_arvc_tpu.viz.plots import (
