@@ -55,6 +55,13 @@ class ICPParams(NamedTuple):
     # (keeps the score tiles in VMEM; ~1.4x over the XLA formulation) and
     # the tiled XLA path elsewhere.
     nn_impl: str = "auto"
+    # Coarse-to-fine: run up to ``coarse_iterations`` first with the source
+    # statically strided by ``coarse_factor`` (NN sweep cost drops by the
+    # same factor), then refine at full resolution.  The coarse phase does
+    # the travel, the fine phase polishes — a classic ICP schedule the
+    # reference doesn't use.  coarse_factor=1 disables.
+    coarse_factor: int = 4
+    coarse_iterations: int = 10
 
 
 class ICPResult(NamedTuple):
@@ -126,47 +133,59 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
     src_mask_f = src.mask.astype(src_pts.dtype)
     tgt_normals = tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.points)
 
-    def step(T):
-        p = geom.transform_points(T, src_pts)
-        idx, d2 = nn(p, tgt.points, tgt.mask)
-        w = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
-        if params.robust:
-            # Welsch IRLS: scale from the gated mean-square distance,
-            # sharpened once by reweighting (two cheap passes, no new NN).
-            sigma2 = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
-            w1 = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
-            sigma2 = jnp.sum(w1 * d2) / jnp.maximum(jnp.sum(w1), 1e-6)
-            w = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
-        q = tgt.points[idx]
-        if method == "point_to_plane":
-            n_corr = tgt_normals[idx]
-            H, b, _ = _gn_step_point_to_plane(p, n_corr, q, w)
-        else:
-            H, b, _ = _gn_step_point_to_point(p, q, w)
-        # Tikhonov floor keeps degenerate geometry (no constraints along an
-        # axis) from blowing up the solve; negligible when well-conditioned.
-        damp = 1e-6 * (jnp.trace(H) / 6.0 + 1.0)
-        xi = jnp.linalg.solve(H + damp * jnp.eye(6, dtype=H.dtype), b)
-        # guard: if the solve produced non-finite values keep T unchanged
-        xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
-        return geom.compose(geom.se3_exp(xi), T), jnp.linalg.norm(xi)
+    def make_step(pts, mask_f):
+        def step(T):
+            p = geom.transform_points(T, pts)
+            idx, d2 = nn(p, tgt.points, tgt.mask)
+            w = mask_f * (d2 <= thr2).astype(pts.dtype)
+            if params.robust:
+                # Welsch IRLS: scale from the gated mean-square distance,
+                # sharpened once by reweighting (two cheap passes, no new NN).
+                sigma2 = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
+                w1 = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
+                sigma2 = jnp.sum(w1 * d2) / jnp.maximum(jnp.sum(w1), 1e-6)
+                w = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
+            q = tgt.points[idx]
+            if method == "point_to_plane":
+                n_corr = tgt_normals[idx]
+                H, b, _ = _gn_step_point_to_plane(p, n_corr, q, w)
+            else:
+                H, b, _ = _gn_step_point_to_point(p, q, w)
+            # Tikhonov floor keeps degenerate geometry (no constraints
+            # along an axis) from blowing up the solve.
+            damp = 1e-6 * (jnp.trace(H) / 6.0 + 1.0)
+            xi = jnp.linalg.solve(H + damp * jnp.eye(6, dtype=H.dtype), b)
+            # guard: non-finite solve keeps T unchanged
+            xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
+            return geom.compose(geom.se3_exp(xi), T), jnp.linalg.norm(xi)
+        return step
 
-    if params.convergence_tol > 0:
-        def cond(state):
-            _, it, delta = state
-            return (it < params.max_iterations) & (delta > params.convergence_tol)
+    def run_phase(T0, step, max_iters, tol):
+        if params.convergence_tol > 0:
+            def cond(state):
+                _, it, delta = state
+                return (it < max_iters) & (delta > tol)
 
-        def while_body(state):
-            T, it, _ = state
-            T_new, delta = step(T)
-            return T_new, it + 1, delta
+            def while_body(state):
+                T, it, _ = state
+                T_new, delta = step(T)
+                return T_new, it + 1, delta
 
-        T, _, _ = jax.lax.while_loop(
-            cond, while_body,
-            (T_init, jnp.int32(0), jnp.float32(jnp.inf)))
-    else:
-        T = jax.lax.fori_loop(0, params.max_iterations,
-                              lambda _, T: step(T)[0], T_init, unroll=False)
+            T, _, _ = jax.lax.while_loop(
+                cond, while_body, (T0, jnp.int32(0), jnp.float32(jnp.inf)))
+            return T
+        return jax.lax.fori_loop(0, max_iters, lambda _, T: step(T)[0], T0,
+                                 unroll=False)
+
+    T = T_init
+    fine_iters = params.max_iterations
+    if params.coarse_factor > 1 and params.coarse_iterations > 0:
+        f = params.coarse_factor
+        coarse_step = make_step(src_pts[::f], src_mask_f[::f])
+        T = run_phase(T, coarse_step, params.coarse_iterations,
+                      10.0 * params.convergence_tol)
+    T = run_phase(T, make_step(src_pts, src_mask_f), fine_iters,
+                  params.convergence_tol)
 
     # final metrics at the converged transform
     p = geom.transform_points(T, src_pts)
