@@ -281,3 +281,33 @@ class TestFailureDetection:
         out = match_consecutive(pts, mask, normals, seed, cfg,
                                 "icppointplane", progress=False)
         np.testing.assert_allclose(out[0], seed[0], atol=1e-5)
+
+
+class TestLoopClosureEndToEnd:
+    """Config 3 of BASELINE.json: full two-stage run on a dense closed
+    circuit where the triplet windows are satisfiable, expecting accepted
+    loop closures in the output CSV."""
+
+    def test_full_run_with_closures(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("loops"))
+        info = synthetic.make_dataset(
+            d, n_scans=40, seed=9, radius=6.0, scan_points=3000,
+            max_range=18.0, with_gps=False,
+            world_kwargs={"extent": 15.0, "n_ground": 6000, "n_pillars": 25,
+                          "pillar_pts": 250},
+            scanmatcher_params={"voxel_size": 0.25, "delta_time": 1.0,
+                                "start_index": 0},
+            slam_params={"skip_loop_closing": 12, "skip_optimization": 12,
+                         "radius_threshold": 3.0, "distance_backwards": 8.0,
+                         "number_of_triplets_loop_closing": 10})
+        cfg = IcpConfig(raw_capacity=4096, capacity=2048, batch_size=8,
+                        max_iterations=15)
+        run_scanmatcher(d, cfg=cfg, progress=False)
+        out = run_graphslam(d, cfg=cfg, progress=False)
+        assert out["n_loop_closures"] >= 2, out["n_loop_closures"]
+        euroc = EurocDataset(d)
+        lc = euroc.read_csv("/robot0/SLAM/loop_closures.csv")
+        assert len(lc) == out["n_loop_closures"]
+        _, T_sol = euroc.read_trajectory("/robot0/SLAM/solution_graphslam.csv")
+        err = ate(T_sol, info["T_gt"])["rmse"]
+        assert err < 0.15, err
