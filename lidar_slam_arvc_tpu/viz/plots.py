@@ -71,3 +71,28 @@ def plot_gps_comparison(T: np.ndarray, df_gps, correspondences,
     ax.set_title("Correspondences (estimation, GPS)")
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def plot_registration(src_points, tgt_points, transform, path: str,
+                      max_points: int = 5000) -> None:
+    """Overlay of a registered pair: source (red) transformed into the
+    target frame (blue) — headless equivalent of the reference's
+    draw_registration_result (keyframe.py:347-358)."""
+    import numpy as np
+    plt = _agg()
+    src = np.asarray(src_points)
+    tgt = np.asarray(tgt_points)
+    T = np.asarray(transform)
+    if len(src) > max_points:
+        src = src[np.linspace(0, len(src) - 1, max_points).astype(int)]
+    if len(tgt) > max_points:
+        tgt = tgt[np.linspace(0, len(tgt) - 1, max_points).astype(int)]
+    moved = src @ T[:3, :3].T + T[:3, 3]
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.scatter(tgt[:, 0], tgt[:, 1], s=1, color="tab:blue", label="target")
+    ax.scatter(moved[:, 0], moved[:, 1], s=1, color="tab:red",
+               label="source (transformed)")
+    ax.axis("equal")
+    ax.legend(markerscale=8)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)

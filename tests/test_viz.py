@@ -131,3 +131,14 @@ class TestProfiling:
         assert rep["icp"]["items"] == 10
         assert rep["icp"]["seconds"] >= 0.01
         assert t.rate("icp") > 0
+
+
+class TestRegistrationPlot:
+    def test_plot_registration(self, tmp_path, rng):
+        from lidar_slam_arvc_tpu.viz import plot_registration
+        src = rng.normal(size=(100, 3))
+        tgt = rng.normal(size=(120, 3))
+        fn = str(tmp_path / "reg.png")
+        plot_registration(src, tgt, np.eye(4), fn)
+        import os
+        assert os.path.getsize(fn) > 1000
