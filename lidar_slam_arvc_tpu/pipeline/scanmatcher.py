@@ -295,9 +295,10 @@ def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
     raw_pts, raw_mask = load_scans(euroc, scan_times, cfg.raw_capacity)
     points, mask, normals, g, ng = preprocess_all(
         raw_pts, raw_mask, cfg, method, voxel_size)
+    preprocess_seconds = time.time() - t_load
     if progress:
         print(f"loaded+preprocessed {len(scan_times)} scans "
-              f"in {time.time() - t_load:.2f}s")
+              f"in {preprocess_seconds:.2f}s")
 
     t_icp = time.time()
     if cfg.checkpoint_batches > 0:
@@ -333,6 +334,17 @@ def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
     euroc.save_transforms_as_csv(
         scan_times, T_global, "/robot0/scanmatcher/scanmatcher_global.csv")
 
+    # per-stage profile artifact (utils/profiling.py; SURVEY.md §5)
+    import json
+    profile = {
+        "load_preprocess_seconds": round(preprocess_seconds, 4),
+        "icp_seconds": round(icp_seconds, 4),
+        "pairs": int(len(rel_sm)),
+        "frames_per_second": round(len(rel_sm) / max(icp_seconds, 1e-9), 3),
+    }
+    os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
+    with open(f"{directory}/robot0/viz/scanmatcher_profile.json", "w") as f:
+        json.dump(profile, f, indent=2)
     return {"scan_times": scan_times, "relative": rel_sm,
             "global": T_global, "icp_seconds": icp_seconds,
-            "frames_per_second": len(rel_sm) / max(icp_seconds, 1e-9)}
+            "frames_per_second": profile["frames_per_second"]}

@@ -45,6 +45,8 @@ def view_dataset(directory: str, keyframe_sampling: int = 10,
                       voxel_size=voxel_size)
     ply_path = f"{out_dir}/map.ply"
     write_ply(ply_path, cloud)
+    from lidar_slam_arvc_tpu.io import write_pcd
+    write_pcd(f"{out_dir}/map.pcd", cloud)
     print(f"viewer: {source} trajectory ({len(T)} poses, "
           f"{len(loop_pairs)} loop closures), map {len(cloud)} points "
           f"-> {out_dir}")
