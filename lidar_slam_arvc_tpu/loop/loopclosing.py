@@ -108,25 +108,35 @@ class LoopCloser:
         Mirrors compute_transformations_between_candidates (reference
         loopclosing.py:154-184): seed from the current graph estimates
         conjugated by T0_gps, register the LiDAR clouds, conjugate back.
+
+        The batch is padded to a fixed power-of-two size (self-pairs,
+        discarded) so every loop-closing round reuses one compiled
+        executable regardless of how many triplets survived the gates.
         """
         est = self.graph.current_estimate
         T0g_inv = np.linalg.inv(self.graph.T0_gps)
         T0g = self.graph.T0_gps
 
-        seeds = []
-        for (i, j) in pairs:
+        n = len(pairs)
+        cap = 8
+        while cap < n:
+            cap *= 2
+        padded = np.concatenate(
+            [pairs, np.zeros((cap - n, 2), dtype=pairs.dtype)])
+
+        seeds = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+        for k, (i, j) in enumerate(pairs):
             Ti = est[i] @ T0g_inv
             Tj = est[j] @ T0g_inv
-            seeds.append(np.linalg.inv(Ti) @ Tj)
-        seeds = np.stack(seeds).astype(np.float32)
+            seeds[k] = (np.linalg.inv(Ti) @ Tj).astype(np.float32)
 
-        si = jnp.asarray(pairs[:, 1])  # source = scan j
-        ti = jnp.asarray(pairs[:, 0])  # target = scan i
+        si = jnp.asarray(padded[:, 1])  # source = scan j
+        ti = jnp.asarray(padded[:, 0])  # target = scan i
         res = icp_batch(self.scan_points[si], self.scan_masks[si],
                         self.scan_points[ti], self.scan_masks[ti],
                         self.scan_normals[ti], jnp.asarray(seeds),
                         self.icp_params, self.method)
-        T = np.asarray(res.transform, dtype=np.float64)
+        T = np.asarray(res.transform, dtype=np.float64)[:n]
         return np.einsum("ij,njk,kl->nil", T0g_inv, T, T0g)
 
     # ------------------------------------------------------- public API
