@@ -14,10 +14,12 @@ embarrassingly batchable on TPU.
 from lidar_slam_arvc_tpu.graph.factors import (
     NoiseSigmas, DEFAULT_SIGMAS, FactorData, make_factor_buffers,
 )
-from lidar_slam_arvc_tpu.graph.solver import solve_graph, graph_cost
+from lidar_slam_arvc_tpu.graph.solver import (
+    solve_graph, graph_cost, marginal_covariances,
+)
 from lidar_slam_arvc_tpu.graph.builder import PoseGraph
 
 __all__ = [
     "NoiseSigmas", "DEFAULT_SIGMAS", "FactorData", "make_factor_buffers",
-    "solve_graph", "graph_cost", "PoseGraph",
+    "solve_graph", "graph_cost", "marginal_covariances", "PoseGraph",
 ]

@@ -126,6 +126,14 @@ class PoseGraph:
         self.poses = np.array(poses)  # writable host copy
         return cost
 
+    def marginal_covariances(self) -> np.ndarray:
+        """(n_poses, 6, 6) tangent-space [w, v] marginal covariance per pose
+        (gtsam.Marginals parity, reference graphSLAM.py:117-137)."""
+        from lidar_slam_arvc_tpu.graph.solver import marginal_covariances
+        cov = marginal_covariances(jnp.asarray(self.poses),
+                                   self._factor_data(), self.n_poses)
+        return np.array(cov[: self.n_poses], dtype=np.float64)
+
     # ----------------------------------------------------------- queries
 
     @property

@@ -199,6 +199,29 @@ def _lm_step(poses, factors, n_active, lam):
     return new_poses, graph_cost(new_poses, factors)
 
 
+@jax.jit
+def marginal_covariances(poses: jax.Array, factors: FactorData,
+                         n_active: jax.Array) -> jax.Array:
+    """Per-pose 6x6 marginal covariance blocks in the tangent frame [w, v].
+
+    Parity with gtsam.Marginals(...).marginalCovariance(i) (reference
+    graphslam/graphSLAM.py:117-137, used for the uncertainty ellipses in
+    GraphSLAM.plot).  The linearized information matrix H = J^T W J is
+    assembled at the current estimate and inverted by Cholesky; the marginal
+    of pose i is the i-th 6x6 diagonal block of H^-1 (exact for the
+    Gaussian approximation — identical to what GTSAM computes).  Inactive
+    poses carry identity diagonal and are meaningless; slice [:n_poses] on
+    the host.
+    """
+    H, _ = _assemble(poses, factors, jnp.asarray(n_active, dtype=jnp.int32))
+    H = H + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype)
+    cov = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(H, lower=True),
+        jnp.eye(H.shape[0], dtype=H.dtype))
+    n = poses.shape[0]
+    return cov.reshape(n, 6, n, 6)[jnp.arange(n), :, jnp.arange(n), :]
+
+
 def solve_graph(poses: jax.Array, factors: FactorData, n_active,
                 max_iterations: int = 15, lam0: float = 1e-6,
                 tol: float = 1e-7):

@@ -53,6 +53,46 @@ def plot_trajectory_with_loop_closures(T: np.ndarray, loop_pairs,
     plt.close(fig)
 
 
+def plot_trajectory_with_uncertainty(T: np.ndarray, covs: np.ndarray,
+                                     path: str, scale: float = 1.0,
+                                     skip: int = 1) -> None:
+    """XY trajectory with per-pose 1-sigma position-uncertainty ellipses.
+
+    Headless equivalent of the reference's GraphSLAM.plot with
+    plot_uncertainty_ellipse=True (graphSLAM.py:115-145, which draws
+    gtsam_plot.plot_pose3 ellipsoids from marginalCovariance).  ``covs`` is
+    (N,6,6) tangent covariance in [w, v] order (PoseGraph.marginal_covariances);
+    the drawn ellipse is the xy marginal of the translation block rotated
+    into the world frame.
+    """
+    plt = _agg()
+    from matplotlib.patches import Ellipse
+    fig, ax = plt.subplots(figsize=(8, 8))
+    T = np.asarray(T)
+    covs = np.asarray(covs)
+    p = T[:, :3, 3]
+    ax.plot(p[:, 0], p[:, 1], ".-", markersize=3, color="tab:blue")
+    for i in range(0, len(T), max(int(skip), 1)):
+        # translation covariance is expressed in the body frame (right
+        # perturbation); rotate into world: R Sigma_v R^T
+        R = T[i, :3, :3]
+        Sw = R @ covs[i, 3:, 3:] @ R.T
+        S2 = Sw[:2, :2]
+        w, V = np.linalg.eigh(S2)
+        w = np.clip(w, 0.0, None)
+        ang = float(np.degrees(np.arctan2(V[1, -1], V[0, -1])))
+        ax.add_patch(Ellipse(p[i, :2], 2 * scale * np.sqrt(w[-1]),
+                             2 * scale * np.sqrt(w[0]), angle=ang,
+                             facecolor="none", edgecolor="tab:red",
+                             linewidth=0.8, alpha=0.8))
+    ax.set_xlabel("X (m)")
+    ax.set_ylabel("Y (m)")
+    ax.axis("equal")
+    ax.set_title("trajectory with 1-sigma position uncertainty")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_gps_comparison(T: np.ndarray, df_gps, correspondences,
                         path: str) -> None:
     """Estimate-vs-GPS overlay with correspondence segments

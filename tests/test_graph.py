@@ -160,3 +160,84 @@ class TestPCGSolver:
         g.optimize(max_iterations=20)  # auto -> pcg at cap 2048
         after = ate(g.current_estimate, T_gt)["rmse"]
         assert after < before
+
+
+class TestMarginals:
+    """gtsam.Marginals parity (reference graphSLAM.py:117-137)."""
+
+    def _chain(self, n=6):
+        g = PoseGraph(max_poses=8, max_between=16, max_gps=4)
+        g.init_graph()
+        step = np.eye(4)
+        step[0, 3] = 1.0
+        for i in range(n - 1):
+            g.add_initial_estimate(step, i + 1)
+            g.add_edge(step, i, i + 1, "ODO")
+        return g, n
+
+    def test_uncertainty_grows_along_chain(self):
+        # with only a prior at pose 0 and odometry edges, the marginal
+        # position variance must grow monotonically with distance from the
+        # anchor (classic dead-reckoning behavior)
+        g, n = self._chain()
+        cov = g.marginal_covariances()
+        assert cov.shape == (n, 6, 6)
+        tvar = np.trace(cov[:, 3:, 3:], axis1=1, axis2=2)
+        assert np.all(np.diff(tvar) > 0), tvar
+        # symmetric PSD blocks
+        assert np.allclose(cov, np.swapaxes(cov, 1, 2), rtol=1e-4, atol=1e-4)
+        assert np.all(np.linalg.eigvalsh(cov) > -1e-6)
+
+    def test_matches_dense_numpy_inverse_identity_chain(self):
+        # identity-rotation chain: between-factor Jacobians reduce to
+        # A=-Ad(T_ij^-1), B=I; build H in numpy and compare blocks.
+        g, n = self._chain(n=4)
+        cov = g.marginal_covariances()
+
+        def adjoint(T):
+            R, t = T[:3, :3], T[:3, 3]
+            tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                           [-t[1], t[0], 0.0]])
+            A = np.zeros((6, 6))
+            A[:3, :3] = R
+            A[3:, :3] = tx @ R
+            A[3:, 3:] = R
+            return A
+
+        N = g.max_poses
+        H = np.zeros((6 * N, 6 * N))
+        # prior on pose 0 (zero residual at solution -> Jr_inv = I)
+        Wp = np.diag((1.0 / DEFAULT_SIGMAS.prior) ** 2)
+        H[:6, :6] += Wp
+        step = np.eye(4)
+        step[0, 3] = 1.0
+        W = np.diag((1.0 / DEFAULT_SIGMAS.odo) ** 2)
+        for i in range(3):
+            A = -adjoint(np.linalg.inv(step))
+            B = np.eye(6)
+            si, sj = 6 * i, 6 * (i + 1)
+            H[si:si + 6, si:si + 6] += A.T @ W @ A
+            H[si:si + 6, sj:sj + 6] += A.T @ W @ B
+            H[sj:sj + 6, si:si + 6] += B.T @ W @ A
+            H[sj:sj + 6, sj:sj + 6] += B.T @ W @ B
+        for k in range(4, N):  # inactive poses: identity diagonal
+            H[6 * k:6 * k + 6, 6 * k:6 * k + 6] = np.eye(6)
+        ref = np.linalg.inv(H)
+        # the solver assembles/inverts in f32 with weights spanning 0.01-400
+        # (kappa ~ 4e4), so compare scale-aware: diagonals relatively, off-
+        # diagonals normalized by sqrt(d_ii d_jj) (correlation form)
+        for i in range(4):
+            blk = ref[6 * i:6 * i + 6, 6 * i:6 * i + 6]
+            d = np.sqrt(np.outer(np.diag(blk), np.diag(blk)))
+            np.testing.assert_allclose(np.diag(cov[i]), np.diag(blk),
+                                       rtol=1e-2)
+            np.testing.assert_allclose(cov[i] / d, blk / d,
+                                       rtol=1e-2, atol=1e-2)
+
+    def test_uncertainty_plot_artifact(self, tmp_path):
+        from lidar_slam_arvc_tpu.viz import plot_trajectory_with_uncertainty
+        g, n = self._chain()
+        out = tmp_path / "unc.png"
+        plot_trajectory_with_uncertainty(g.current_estimate,
+                                         g.marginal_covariances(), str(out))
+        assert out.exists() and out.stat().st_size > 0
