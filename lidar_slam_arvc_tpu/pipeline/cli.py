@@ -24,6 +24,12 @@ def _add_common(p):
                    help="padded per-scan point capacity")
     p.add_argument("--batch-size", type=int, default=None,
                    help="scan pairs per ICP dispatch")
+    p.add_argument("--mesh", action="store_true",
+                   help="convert: export alpha-shape meshes instead of "
+                        "point PLYs (reference save_pointcloud_as_mesh)")
+    p.add_argument("--alpha", type=float, default=0.01,
+                   help="convert --mesh: alpha-shape radius "
+                        "(reference keyframe.py:57 uses 0.01)")
 
 
 def main(argv=None):
@@ -61,7 +67,7 @@ def main(argv=None):
         view_dataset(args.directory)
     if args.command == "convert":
         from lidar_slam_arvc_tpu.viz.converter import convert_dataset
-        convert_dataset(args.directory)
+        convert_dataset(args.directory, mesh=args.mesh, alpha=args.alpha)
     if args.command == "diag":
         import json
         from lidar_slam_arvc_tpu.viz import diagnostics

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from lidar_slam_arvc_tpu.viz.mapping import (
-    build_map, read_ply, write_ply, _voxel_downsample_np,
+    alpha_shape_mesh, build_map, read_ply, write_ply, _voxel_downsample_np,
 )
 
 
@@ -142,3 +142,72 @@ class TestRegistrationPlot:
         plot_registration(src, tgt, np.eye(4), fn)
         import os
         assert os.path.getsize(fn) > 1000
+
+
+class TestAlphaShape:
+    """alpha_shape_mesh vs the reference's Open3D alpha shape
+    (keyframe.py:53-59, run_converter.py:185)."""
+
+    def _cube_volume(self, rng, n=400):
+        return rng.uniform(0.0, 1.0, size=(n, 3))
+
+    def test_large_alpha_gives_convex_hull_surface(self, rng):
+        from scipy.spatial import ConvexHull
+        pts = self._cube_volume(rng)
+        # alpha -> inf keeps every tetrahedron (incl. slivers with huge
+        # circumradius), so the boundary is exactly the convex hull
+        verts, tris = alpha_shape_mesh(pts, alpha=1e12)
+        # every tetrahedron kept -> boundary is the convex hull surface:
+        # all boundary vertices are hull vertices
+        hull = ConvexHull(pts)
+        np.testing.assert_allclose(
+            np.sort(verts.sum(1)), np.sort(pts[hull.vertices].sum(1)),
+            rtol=1e-5)
+        # closed surface of sphere topology: every edge shared by exactly
+        # two triangles and V - E + F == 2
+        edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
+                                tris[:, [0, 2]]])
+        edges = np.sort(edges, axis=1)
+        uniq_e, counts = np.unique(edges, axis=0, return_counts=True)
+        assert np.all(counts == 2)
+        assert len(verts) - len(uniq_e) + len(tris) == 2
+
+    def test_small_alpha_empty(self, rng):
+        pts = self._cube_volume(rng)
+        verts, tris = alpha_shape_mesh(pts, alpha=1e-6)
+        assert len(tris) == 0
+
+    def test_alpha_separates_two_clusters(self, rng):
+        # two well-separated blobs: moderate alpha must not bridge them,
+        # so the surface splits into >=2 connected components
+        a = rng.normal(scale=0.1, size=(200, 3))
+        b = rng.normal(scale=0.1, size=(200, 3)) + np.array([5.0, 0, 0])
+        verts, tris = alpha_shape_mesh(np.concatenate([a, b]), alpha=0.5)
+        assert len(tris) > 0
+        x = verts[tris[:, 0], 0]
+        assert (x < 2.5).any() and (x > 2.5).any()
+        # no triangle spans the gap
+        tx = verts[tris, 0]
+        assert not np.any((tx.min(1) < 2.0) & (tx.max(1) > 3.0))
+
+    def test_mesh_ply_roundtrip_vertices(self, tmp_path, rng):
+        pts = self._cube_volume(rng, n=100)
+        verts, tris = alpha_shape_mesh(pts, alpha=10.0)
+        path = str(tmp_path / "mesh.ply")
+        write_ply(path, verts, faces=tris)
+        back = read_ply(path)
+        np.testing.assert_allclose(back, verts, rtol=1e-6)
+
+    def test_converter_mesh_mode(self, tmp_path):
+        from lidar_slam_arvc_tpu.utils import synthetic
+        from lidar_slam_arvc_tpu.viz.converter import convert_dataset
+        d = str(tmp_path / "ds")
+        synthetic.make_dataset(d, n_scans=3, scan_points=800)
+        n = convert_dataset(d, mesh=True, alpha=5.0)
+        assert n == 3
+        import glob
+        files = glob.glob(f"{d}/robot0/lidar/dataply/*.ply")
+        assert len(files) == 3
+        with open(files[0], "rb") as f:
+            head = f.read(400).decode("ascii", "ignore")
+        assert "element face" in head
