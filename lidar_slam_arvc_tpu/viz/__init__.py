@@ -11,9 +11,10 @@ from lidar_slam_arvc_tpu.viz.mapping import (
 )
 from lidar_slam_arvc_tpu.viz.plots import (
     plot_trajectory, plot_trajectory_with_loop_closures, plot_gps_comparison,
-    plot_registration, plot_trajectory_with_uncertainty,
+    plot_registration, plot_trajectory_with_uncertainty, plot_gps_osm,
 )
 
 __all__ = ["alpha_shape_mesh", "build_map", "write_ply", "plot_trajectory",
            "plot_trajectory_with_loop_closures", "plot_gps_comparison",
-           "plot_registration", "plot_trajectory_with_uncertainty"]
+           "plot_registration", "plot_trajectory_with_uncertainty",
+           "plot_gps_osm"]

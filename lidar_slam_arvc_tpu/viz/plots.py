@@ -113,6 +113,48 @@ def plot_gps_comparison(T: np.ndarray, df_gps, correspondences,
     plt.close(fig)
 
 
+def plot_gps_osm(df_gps, path: str, expand: float = 0.001) -> bool:
+    """GPS track over an OpenStreetMap basemap (reference
+    tools/plottools.py:245-271 plot_gps_OSM), saved headless.
+
+    Basemap tiles need the optional ``tilemapbase`` package plus network
+    access; when unavailable this degrades to the same figure without the
+    basemap — the track drawn in Web-Mercator-projected lon/lat with the
+    identical extent semantics.  Returns True when tiles were rendered.
+    """
+    plt = _agg()
+    lon = np.asarray(df_gps["longitude"], dtype=np.float64)
+    lat = np.asarray(df_gps["latitude"], dtype=np.float64)
+    fig, ax = plt.subplots(figsize=(8, 8), dpi=150)
+    tiles_ok = False
+    try:  # optional dependency + network
+        import tilemapbase
+        tilemapbase.init(create=True)
+        extent = tilemapbase.Extent.from_lonlat(
+            lon.min() - expand, lon.max() + expand,
+            lat.min() - expand, lat.max() + expand)
+        proj = np.array([tilemapbase.project(x, y)
+                         for x, y in zip(lon, lat)])
+        plotter = tilemapbase.Plotter(extent, tilemapbase.tiles.build_OSM(),
+                                      height=600)
+        plotter.plot(ax, tilemapbase.tiles.build_OSM(), alpha=0.8)
+        tiles_ok = True
+    except Exception:
+        # offline fallback: same Web-Mercator projection, no tiles
+        x = np.radians(lon)
+        y = np.arcsinh(np.tan(np.radians(lat)))
+        proj = np.column_stack([(x / (2 * np.pi)) + 0.5,
+                                0.5 - y / (2 * np.pi)])
+        ax.invert_yaxis()
+    ax.plot(proj[:, 0], proj[:, 1], color="blue", linewidth=1)
+    ax.xaxis.set_visible(False)
+    ax.yaxis.set_visible(False)
+    ax.set_title("GPS track" + ("" if tiles_ok else " (no OSM tiles)"))
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return tiles_ok
+
+
 def plot_registration(src_points, tgt_points, transform, path: str,
                       max_points: int = 5000) -> None:
     """Overlay of a registered pair: source (red) transformed into the

@@ -211,3 +211,17 @@ class TestAlphaShape:
         with open(files[0], "rb") as f:
             head = f.read(400).decode("ascii", "ignore")
         assert "element face" in head
+
+
+class TestGpsOsmPlot:
+    def test_offline_fallback(self, tmp_path):
+        import pandas as pd
+        from lidar_slam_arvc_tpu.viz import plot_gps_osm
+        df = pd.DataFrame({
+            "longitude": np.linspace(-0.52, -0.51, 20),
+            "latitude": np.linspace(38.27, 38.28, 20),
+        })
+        out = tmp_path / "osm.png"
+        tiles = plot_gps_osm(df, str(out))
+        assert out.exists() and out.stat().st_size > 1000
+        assert tiles in (True, False)  # tiles need network; fallback is fine
