@@ -21,6 +21,8 @@ pipeline      scanmatcher and graphSLAM drivers + CLI (automate.sh parity)
 parallel      mesh/sharding utilities, multi-chip batched ICP and solve
 utils         config system, ATE/RPE metrics, profiling, synthetic datasets
 viz           trajectory/map plotting and PLY export
+compat        artelib-compatible value classes (HomogeneousMatrix, ...) for
+              line-for-line porting of reference scripts
 """
 
 __version__ = "0.1.0"
