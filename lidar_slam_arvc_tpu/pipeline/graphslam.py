@@ -163,6 +163,22 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
                                  "/robot0/SLAM/solution_graphslam.csv")
     euroc.save_loop_closures_as_csv(loop_closures,
                                     "/robot0/SLAM/loop_closures.csv")
+    # uncertainty-ellipse artifact = the reference's live GraphSLAM.plot
+    # with plot_uncertainty_ellipse=True (graphSLAM.py:115-145), headless.
+    # Dense H^-1 is O((6N)^2) memory — skip beyond the dense-solver regime.
+    try:
+        if graph.max_poses > 1024:
+            raise RuntimeError(
+                f"graph capacity {graph.max_poses} > 1024 (dense marginal "
+                "inverse too large; call marginal_covariances explicitly)")
+        from lidar_slam_arvc_tpu.viz import plot_trajectory_with_uncertainty
+        plot_trajectory_with_uncertainty(
+            graph.current_estimate, graph.marginal_covariances(),
+            f"{directory}/robot0/SLAM/uncertainty.png",
+            skip=max(n // 64, 1))
+    except Exception as exc:  # plotting never fails the solve
+        if progress:
+            print(f"uncertainty plot skipped: {exc}")
     n_loops = sum(len(g) for g in loop_closures if g)
     return {"solution": solution_lidar, "scan_times": scan_times,
             "loop_closures": loop_closures, "n_loop_closures": n_loops,

@@ -97,6 +97,9 @@ class TestGraphSLAM:
         # loop closure CSV exists (may be empty on this short circle)
         lc = euroc.read_csv("/robot0/SLAM/loop_closures.csv")
         assert set(lc.columns[1:]) == {"i", "j"}
+        # uncertainty-ellipse artifact (GraphSLAM.plot parity)
+        import os
+        assert os.path.getsize(f"{d}/robot0/SLAM/uncertainty.png") > 1000
 
 
 class TestCLI:
