@@ -148,6 +148,27 @@ class LoopCloser:
         da = min(np.linalg.norm(e1), np.linalg.norm(e2))
         return dp < 0.1 and da < 0.05
 
+    def loop_closing_simple(self, current_index: int,
+                            number_of_candidates: int) -> list:
+        """Ungated loop closing (reference loopclosing.py:33-57): sample
+        candidates within the radius and add every ICP result as an SM edge
+        — no triangle consistency check, so a wrong registration corrupts
+        the graph (the reference documents this risk; loop_closing_triangle
+        is the recommended path).  Returns added [i, j] pairs.
+        """
+        candidates = self.find_candidates()
+        if len(candidates) == 0:
+            return []
+        n = min(len(candidates), number_of_candidates)
+        chosen = self.rng.choice(candidates, size=n, replace=False)
+        pairs = np.array([[current_index, int(j)] for j in chosen])
+        T_ij = self._batched_candidate_icp(pairs)
+        added = []
+        for k, (i, j) in enumerate(pairs):
+            self.graph.add_edge(T_ij[k], int(i), int(j), "SM")
+            added.append([int(i), int(j)])
+        return added
+
     def loop_closing_triangle(self, current_index: int,
                               number_of_triplets: int) -> list:
         """(reference loopclosing.py:58-100); returns accepted [i, j] pairs."""

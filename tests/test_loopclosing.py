@@ -128,3 +128,25 @@ class TestLoopClosingEndToEnd:
         g.optimize(max_iterations=30)
         after = ate(g.current_estimate, T_gt)["rmse"]
         assert after < before * 0.6, (before, after)
+
+    def test_loop_closing_simple(self, dense_scene):
+        """loop_closing_simple parity (reference loopclosing.py:33-57):
+        every sampled candidate becomes an SM edge, no triangle gate."""
+        T_gt, pts, mask, normals = dense_scene
+        g = drifted_graph(T_gt)
+        before = ate(g.current_estimate, T_gt)["rmse"]
+        n_edges0 = g.n_between
+        closer = LoopCloser(
+            g, pts, mask, normals, distance_backwards=8.0,
+            radius_threshold=3.0,
+            icp_params=ICPParams(max_correspondence_distance=5.0,
+                                 max_iterations=20, src_block=512,
+                                 tgt_block=512),
+            seed=0)
+        added = closer.loop_closing_simple(N - 1, number_of_candidates=4)
+        assert 0 < len(added) <= 4
+        # ungated: every returned pair became an edge
+        assert g.n_between == n_edges0 + len(added)
+        g.optimize(max_iterations=30)
+        after = ate(g.current_estimate, T_gt)["rmse"]
+        assert after < before, (before, after)
