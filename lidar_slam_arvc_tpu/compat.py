@@ -333,6 +333,53 @@ class HomogeneousMatrix:
         return str(self.array)
 
 
+class SerialLink:
+    """One Denavit-Hartenberg link (reference artelib/seriallink.py:49-84):
+    revolute ('R', q adds to theta) or prismatic ('P', q adds to d)."""
+
+    def __init__(self, th, d, a, alpha, link_type="R"):
+        self.th, self.d, self.a, self.alpha = th, d, a, alpha
+        self.link_type = link_type
+
+    def dh(self, q):
+        theta = self.th + (q if self.link_type == "R" else 0.0)
+        d = self.d + (q if self.link_type == "P" else 0.0)
+        ct, st = np.cos(theta), np.sin(theta)
+        ca, sa = np.cos(self.alpha), np.sin(self.alpha)
+        return HomogeneousMatrix(np.array([
+            [ct, -ca * st, sa * st, self.a * ct],
+            [st, ca * ct, -sa * ct, self.a * st],
+            [0.0, sa, ca, d],
+            [0.0, 0.0, 0.0, 1.0],
+        ]))
+
+
+class SerialRobot:
+    """DH serial-arm forward kinematics (reference artelib/seriallink.py:17-46;
+    unused by the SLAM pipeline, kept for artelib API completeness)."""
+
+    def __init__(self, n, T0, name="robot"):
+        self.name = name
+        self.n = n
+        self.T0 = HomogeneousMatrix(T0)
+        self.transformations = []
+
+    def append(self, th, d, a, alpha, link_type="R"):
+        self.transformations.append(SerialLink(th, d, a, alpha, link_type))
+
+    def directkinematics(self, q):
+        T = self.T0
+        for i, link in enumerate(self.transformations):
+            T = T * link.dh(q[i])
+        return T
+
+    def dh(self, q, i):
+        return self.transformations[i].dh(q[i])
+
+    def get_link_type(self, i):
+        return self.transformations[i].link_type
+
+
 # --------------------------------------------------------------------------
 # trajectory-algebra free functions (reference homogeneousmatrix.py:147-212)
 # and bridges to the framework's stacked-tensor form

@@ -154,3 +154,35 @@ class TestTrajectoryAlgebra:
         rel_compat = compat.stack(
             compat.compute_relative_transformations(Ts))
         np.testing.assert_allclose(rel_geom, rel_compat, atol=1e-4)
+
+
+class TestSerialRobot:
+    """DH kinematics shim (reference artelib/seriallink.py)."""
+
+    def test_planar_rr_arm(self):
+        # two revolute links in the XY plane: analytic forward kinematics
+        r = compat.SerialRobot(2, np.eye(4))
+        r.append(th=0.0, d=0.0, a=1.0, alpha=0.0)
+        r.append(th=0.0, d=0.0, a=0.5, alpha=0.0)
+        q = np.array([np.pi / 4, np.pi / 4])
+        T = r.directkinematics(q)
+        x = np.cos(q[0]) + 0.5 * np.cos(q[0] + q[1])
+        y = np.sin(q[0]) + 0.5 * np.sin(q[0] + q[1])
+        np.testing.assert_allclose(T.pos(), [x, y, 0.0], atol=1e-12)
+
+    def test_prismatic_link(self):
+        r = compat.SerialRobot(1, np.eye(4))
+        r.append(th=0.0, d=0.2, a=0.0, alpha=0.0, link_type="P")
+        T = r.directkinematics(np.array([0.3]))
+        np.testing.assert_allclose(T.pos(), [0, 0, 0.5], atol=1e-12)
+        assert r.get_link_type(0) == "P"
+
+    def test_dh_equals_elementary_composition(self, rng):
+        # A(theta,d,a,alpha) == Rz(theta)*Tz(d)*Tx(a)*Rx(alpha)
+        th, d, a, al = rng.uniform(-np.pi, np.pi, 4)
+        A = compat.SerialLink(th, d, a, al).dh(0.0).toarray()
+        ref = (HomogeneousMatrix([0, 0, 0], Rz(th))
+               * HomogeneousMatrix([0, 0, d], RotationMatrix(np.eye(3)))
+               * HomogeneousMatrix([a, 0, 0], RotationMatrix(np.eye(3)))
+               * HomogeneousMatrix([0, 0, 0], Rx(al))).toarray()
+        np.testing.assert_allclose(A, ref, atol=1e-12)
