@@ -33,6 +33,7 @@ ICP_ITERS = 30
 BASELINE_PAIRS = int(os.environ.get("BENCH_BASELINE_PAIRS", 3))
 CAP_RAW = int(os.environ.get("BENCH_CAP_RAW", 16384))
 CAP = int(os.environ.get("BENCH_CAP", 8192))
+NN_IMPL = os.environ.get("BENCH_NN", "auto")  # auto | pallas | pruned | xla
 
 
 def build_workload():
@@ -63,7 +64,7 @@ def run_device(scans, seeds):
     cap_raw = CAP_RAW
     cap = CAP
     params = ICPParams(max_correspondence_distance=10.0,
-                       max_iterations=ICP_ITERS)
+                       max_iterations=ICP_ITERS, nn_impl=NN_IMPL)
 
     # One jitted program for the whole batched preprocess (every extra
     # program costs minutes of compile through remote-execution tunnels).

@@ -38,44 +38,60 @@ HBM_BYTES_PER_S = 820e9    # v5e HBM bandwidth
 VPU_OPS_PER_ELEMENT = 4.0  # sub+scale fold into compare/select chains
 
 
+BATCH = int(os.environ.get("ROOF_BATCH", 8))
+GATE = 10.0
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from lidar_slam_arvc_tpu.ops.nn import nn_search
     from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
+    from lidar_slam_arvc_tpu.ops.nn_pruned import nn_search_pruned
 
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.uniform(-30, 30, (S, 3)).astype(np.float32))
-    tgt = jnp.asarray(rng.uniform(-30, 30, (T, 3)).astype(np.float32))
-    mask = jnp.ones((T,), dtype=bool)
+    # the ICP regime: source = target + small offsets (post-seed residuals),
+    # batched BATCH-wide like the fused scanmatcher dispatch
+    tgt = jnp.asarray(rng.uniform(-30, 30, (BATCH, T, 3)).astype(np.float32))
+    src = tgt[:, :S, :] + jnp.asarray(
+        rng.normal(scale=0.3, size=(BATCH, S, 3)).astype(np.float32))
+    smask = jnp.ones((BATCH, S), dtype=bool)
+    mask = jnp.ones((BATCH, T), dtype=bool)
 
     # one program per path: REPS dependent sweeps inside a fori_loop so the
-    # per-dispatch tunnel latency amortizes out of the per-sweep number
+    # per-dispatch tunnel latency amortizes out of the per-sweep number;
+    # vmapped over BATCH independent chains (throughput, not latency)
     def reps(fn):
         @jax.jit
-        def run(src, tgt, mask):
-            def body(_, carry):
-                s, acc = carry
-                idx, d2 = fn(s, tgt, mask)
-                # dependency chain: nudge source by a tiny function of the
-                # result so XLA cannot collapse the loop
-                s = s + 1e-12 * d2[:, None]
-                return s, acc + jnp.sum(d2)
-            out = jax.lax.fori_loop(0, REPS, body, (src, 0.0))
-            return out[1]
+        def run(src, tgt, mask, smask):
+            def one(s0, t, m, sm):
+                def body(_, carry):
+                    s, acc = carry
+                    idx, d2 = fn(s, t, m, sm)
+                    # dependency chain: nudge source by a tiny function of
+                    # the result so XLA cannot collapse the loop
+                    s = s + 1e-12 * d2[:, None]
+                    return s, acc + jnp.sum(d2)
+                return jax.lax.fori_loop(0, REPS, body, (s0, 0.0))[1]
+            return jnp.sum(jax.vmap(one)(src, tgt, mask, smask))
         return run
 
     interp = jax.devices()[0].platform == "cpu"  # smoke-test mode only
     results = {}
-    for name, fn in (("xla", lambda s, t, m: nn_search(s, t, m)),
-                     ("pallas", lambda s, t, m: nn_search_pallas(
-                         s, t, m, interpret=interp))):
+    paths = (
+        ("xla", lambda s, t, m, sm: nn_search(s, t, m)),
+        ("pallas", lambda s, t, m, sm: nn_search_pallas(
+            s, t, m, interpret=interp)),
+        ("pruned", lambda s, t, m, sm: nn_search_pruned(
+            s, sm, t, m, gate=GATE, interpret=interp)),
+    )
+    for name, fn in paths:
         run = reps(fn)
-        np.asarray(run(src, tgt, mask))       # compile + warmup
+        np.asarray(run(src, tgt, mask, smask))       # compile + warmup
         t0 = time.time()
-        np.asarray(run(src, tgt, mask))
+        np.asarray(run(src, tgt, mask, smask))
         dt = time.time() - t0
-        results[name] = dt / REPS * 1e3       # ms per sweep
+        results[name] = dt / (REPS * BATCH) * 1e3    # ms per sweep
 
     elems = S * T
     t_vpu = elems * VPU_OPS_PER_ELEMENT / VPU_OPS_PER_S * 1e3
@@ -84,14 +100,17 @@ def main():
     roofline_xla = max(t_vpu, t_hbm_xla)
 
     print(json.dumps({
-        "S": S, "T": T, "reps": REPS,
+        "S": S, "T": T, "reps": REPS, "batch": BATCH,
         "xla_ms": round(results["xla"], 4),
         "pallas_ms": round(results["pallas"], 4),
+        "pruned_ms": round(results["pruned"], 4),
         "roofline_xla_ms": round(roofline_xla, 4),
         "roofline_pallas_ms": round(roofline_pallas, 4),
         "xla_pct_of_light": round(100 * roofline_xla / results["xla"], 1),
         "pallas_pct_of_light": round(
             100 * roofline_pallas / results["pallas"], 1),
+        "pruned_speedup_vs_pallas": round(
+            results["pallas"] / results["pruned"], 2),
     }))
 
 

@@ -53,7 +53,10 @@ class ICPParams(NamedTuple):
     convergence_tol: float = 1e-5
     # correspondence kernel: 'auto' uses the fused Pallas sweep on TPU
     # (keeps the score tiles in VMEM; ~1.4x over the XLA formulation) and
-    # the tiled XLA path elsewhere.
+    # the tiled XLA path elsewhere.  'pruned' adds Morton-sorted blocks
+    # visited nearest-first with bbox-bound skipping (ops/nn_pruned.py):
+    # exact within the correspondence gate, large VPU savings once ICP
+    # settles; TPU only.
     nn_impl: str = "auto"
     # Coarse-to-fine: run up to ``coarse_iterations`` first with the source
     # statically strided by ``coarse_factor``, then refine at full
@@ -119,8 +122,19 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
     if method == "point_to_plane" and tgt.normals is None:
         raise ValueError("point_to_plane ICP needs target normals")
 
-    if params.nn_impl == "pallas" or (params.nn_impl == "auto"
-                                       and jax.default_backend() == "tpu"):
+    if params.nn_impl == "pruned":
+        # distance-adaptive sweep: exact within the correspondence gate,
+        # which is the only region gated ICP consumes (ops/nn_pruned.py)
+        from lidar_slam_arvc_tpu.ops.nn_pruned import nn_search_pruned
+
+        def nn(p, tpts, tmask):
+            return nn_search_pruned(
+                p, src.mask, tpts, tmask,
+                gate=params.max_correspondence_distance,
+                src_block=min(512, params.src_block),
+                tgt_block=min(512, params.tgt_block))
+    elif params.nn_impl == "pallas" or (params.nn_impl == "auto"
+                                        and jax.default_backend() == "tpu"):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
         nn = functools.partial(nn_search_pallas,
                                src_block=min(512, params.src_block),
