@@ -119,28 +119,32 @@ def _pruned_kernel(perm_ref, tiled2_ref, src_ref, svalid_ref, tgt_ref,
         out_idx_ref[:] = best_idx[:]
 
 
+def morton_sort(points: jax.Array, mask: jax.Array, block: int = 512):
+    """(points_sorted, mask_sorted, order): pad to a block multiple and sort
+    by Morton xy so fixed blocks are spatially compact.
+
+    Meant to be hoisted OUT of the ICP iteration loop: the target cloud is
+    fixed, and a rigid transform preserves relative locality exactly, so
+    sorting the source once by its seed-transformed positions keeps every
+    block compact through all iterations.
+    """
+    n = points.shape[0]
+    pad = (-n) % block
+    p = jnp.pad(points, ((0, pad), (0, 0)))
+    m = jnp.pad(mask, (0, pad))
+    order = jnp.argsort(_morton_xy(p, m))
+    return p[order], m[order], order
+
+
 @functools.partial(
     jax.jit, static_argnames=("gate", "src_block", "tgt_block", "interpret"))
-def nn_search_pruned(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
-                     tgt_mask: jax.Array, gate: float,
-                     src_block: int = 512, tgt_block: int = 512,
-                     interpret: bool = False):
-    """(idx, d2): exact NN for rows whose NN is within ``gate`` (see module
-    docstring).  Invalid source rows return arbitrary values — mask them."""
-    S, T = src.shape[0], tgt.shape[0]
-    pad_s = (-S) % src_block
-    pad_t = (-T) % tgt_block
-    src_p = jnp.pad(src, ((0, pad_s), (0, 0)))
-    smask_p = jnp.pad(src_mask, (0, pad_s))
-    tgt_p = jnp.pad(tgt, ((0, pad_t), (0, 0)))
-    tmask_p = jnp.pad(tgt_mask, (0, pad_t))
-
-    # spatial sort (Morton xy) so consecutive blocks are compact
-    s_order = jnp.argsort(_morton_xy(src_p, smask_p))
-    t_order = jnp.argsort(_morton_xy(tgt_p, tmask_p))
-    ss, sv = src_p[s_order], smask_p[s_order]
-    ts, tv = tgt_p[t_order], tmask_p[t_order]
-
+def nn_search_pruned_presorted(ss: jax.Array, sv: jax.Array, ts: jax.Array,
+                               tv: jax.Array, gate: float,
+                               src_block: int = 512, tgt_block: int = 512,
+                               interpret: bool = False):
+    """Pruned sweep over clouds already morton_sort-ed (and block-padded).
+    Returns (idx into ts, d2) in ss row order.  Per-call prep is only the
+    block bboxes and a tiny (n_i, n_j) per-row argsort."""
     slo, shi = _block_boxes(ss, sv, src_block)
     tlo, thi = _block_boxes(ts, tv, tgt_block)
     d2 = _box_dist2(slo, shi, tlo, thi)                      # (n_i, n_tgt)
@@ -194,10 +198,29 @@ def nn_search_pruned(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
         ) if not interpret else None,
         interpret=interpret,
     )(perm, tile_d2, ss, sv[:, None].astype(jnp.float32), ts, t2)
+    return jnp.clip(idx_s[:, 0], 0, ts.shape[0] - 1), d2_s[:, 0]
 
+
+@functools.partial(
+    jax.jit, static_argnames=("gate", "src_block", "tgt_block", "interpret"))
+def nn_search_pruned(src: jax.Array, src_mask: jax.Array, tgt: jax.Array,
+                     tgt_mask: jax.Array, gate: float,
+                     src_block: int = 512, tgt_block: int = 512,
+                     interpret: bool = False):
+    """(idx, d2): exact NN for rows whose NN is within ``gate`` (see module
+    docstring), in the callers' original point order.  Invalid source rows
+    return arbitrary values — mask them.  When calling repeatedly on the
+    same clouds (ICP iterations) prefer morton_sort once +
+    nn_search_pruned_presorted to hoist the two big argsorts."""
+    S, T = src.shape[0], tgt.shape[0]
+    ss, sv, s_order = morton_sort(src, src_mask, src_block)
+    ts, tv, t_order = morton_sort(tgt, tgt_mask, tgt_block)
+    idx_s, d2_s = nn_search_pruned_presorted(
+        ss, sv, ts, tv, gate, src_block=src_block, tgt_block=tgt_block,
+        interpret=interpret)
     # undo both sorts: indices point into sorted targets; rows are in
     # sorted source order
-    idx_orig = t_order[jnp.clip(idx_s[:, 0], 0, ts.shape[0] - 1)]
+    idx_orig = t_order[idx_s]
     inv = jnp.zeros_like(s_order).at[s_order].set(
         jnp.arange(s_order.shape[0]))
-    return idx_orig[inv][:S], d2_s[:, 0][inv][:S]
+    return idx_orig[inv][:S], d2_s[inv][:S]

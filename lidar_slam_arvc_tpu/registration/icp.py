@@ -122,17 +122,42 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
     if method == "point_to_plane" and tgt.normals is None:
         raise ValueError("point_to_plane ICP needs target normals")
 
+    tgt_pts, tgt_mask = tgt.points, tgt.mask
+    src_points, src_mask = src.points, src.mask
+    tgt_normals = tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.points)
+
     if params.nn_impl == "pruned":
-        # distance-adaptive sweep: exact within the correspondence gate,
-        # which is the only region gated ICP consumes (ops/nn_pruned.py)
-        from lidar_slam_arvc_tpu.ops.nn_pruned import nn_search_pruned
+        if params.coarse_factor > 1 and params.coarse_iterations > 0:
+            raise ValueError("nn_impl='pruned' does not compose with the "
+                             "coarse-to-fine schedule (strided sources "
+                             "break the presorted block layout)")
+        # Distance-adaptive sweep: exact within the correspondence gate,
+        # which is the only region gated ICP consumes (ops/nn_pruned.py).
+        # Both clouds are Morton-sorted ONCE here — the target is fixed and
+        # rigid motion preserves source locality, so the expensive argsorts
+        # stay outside the iteration loop; all downstream reductions are
+        # row-order invariant.
+        from lidar_slam_arvc_tpu.ops.nn_pruned import (
+            morton_sort, nn_search_pruned_presorted,
+        )
+        sb = min(512, params.src_block)
+        tb = min(512, params.tgt_block)
+        src_points, src_mask, _ = morton_sort(src_points, src_mask, sb)
+        ts, tv, t_order = morton_sort(tgt_pts, tgt_mask, tb)
+        tgt_normals = jnp.pad(
+            tgt_normals,
+            ((0, ts.shape[0] - tgt_normals.shape[0]), (0, 0)))[t_order]
+        tgt_pts, tgt_mask = ts, tv
+
+        # off-TPU the Pallas kernel only exists in interpret mode — slow,
+        # but keeps the impl selectable for CPU tests/debugging
+        interp = jax.default_backend() != "tpu"
 
         def nn(p, tpts, tmask):
-            return nn_search_pruned(
-                p, src.mask, tpts, tmask,
+            return nn_search_pruned_presorted(
+                p, src_mask, tpts, tmask,
                 gate=params.max_correspondence_distance,
-                src_block=min(512, params.src_block),
-                tgt_block=min(512, params.tgt_block))
+                src_block=sb, tgt_block=tb, interpret=interp)
     elif params.nn_impl == "pallas" or (params.nn_impl == "auto"
                                         and jax.default_backend() == "tpu"):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
@@ -144,14 +169,13 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
                                tgt_block=params.tgt_block)
 
     thr2 = params.max_correspondence_distance ** 2
-    src_pts = src.points
-    src_mask_f = src.mask.astype(src_pts.dtype)
-    tgt_normals = tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.points)
+    src_pts = src_points
+    src_mask_f = src_mask.astype(src_pts.dtype)
 
     def make_step(pts, mask_f):
         def step(T):
             p = geom.transform_points(T, pts)
-            idx, d2 = nn(p, tgt.points, tgt.mask)
+            idx, d2 = nn(p, tgt_pts, tgt_mask)
             w = mask_f * (d2 <= thr2).astype(pts.dtype)
             if params.robust:
                 # Welsch IRLS: scale from the gated mean-square distance,
@@ -160,7 +184,7 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
                 w1 = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
                 sigma2 = jnp.sum(w1 * d2) / jnp.maximum(jnp.sum(w1), 1e-6)
                 w = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
-            q = tgt.points[idx]
+            q = tgt_pts[idx]
             if method == "point_to_plane":
                 n_corr = tgt_normals[idx]
                 H, b, _ = _gn_step_point_to_plane(p, n_corr, q, w)
@@ -204,7 +228,7 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
 
     # final metrics at the converged transform
     p = geom.transform_points(T, src_pts)
-    idx, d2 = nn(p, tgt.points, tgt.mask)
+    idx, d2 = nn(p, tgt_pts, tgt_mask)
     inlier = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
     n_src = jnp.maximum(jnp.sum(src_mask_f), 1.0)
     n_in = jnp.sum(inlier)

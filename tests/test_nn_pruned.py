@@ -107,3 +107,38 @@ class TestPrunedHelpers:
         hi_b = jnp.array([[4.0, 1, 1], [2.0, 2.0, 2.0]])
         d2 = np.asarray(_box_dist2(lo_a, hi_a, lo_b, hi_b))
         np.testing.assert_allclose(d2[0], [4.0, 0.0], atol=1e-6)
+
+
+class TestPresorted:
+    def test_presorted_equals_unsorted_api(self, rng):
+        from lidar_slam_arvc_tpu.ops.nn_pruned import (
+            morton_sort, nn_search_pruned_presorted,
+        )
+        S, T, gate = 500, 640, 6.0
+        src = rng.uniform(-15, 15, (S, 3)).astype(np.float32)
+        tgt = rng.uniform(-15, 15, (T, 3)).astype(np.float32)
+        smask = np.ones(S, bool)
+        tmask = rng.uniform(size=T) > 0.2
+        idx_u, d2_u = _run(src, smask, tgt, tmask, gate,
+                           src_block=128, tgt_block=128)
+
+        ss, sv, s_order = morton_sort(jnp.asarray(src), jnp.asarray(smask),
+                                      128)
+        ts, tv, t_order = morton_sort(jnp.asarray(tgt), jnp.asarray(tmask),
+                                      128)
+        idx_s, d2_s = nn_search_pruned_presorted(
+            ss, sv, ts, tv, gate, src_block=128, tgt_block=128,
+            interpret=True)
+        # map back to original frames and compare where gated
+        t_order = np.asarray(t_order)
+        s_order = np.asarray(s_order)
+        inv = np.empty_like(s_order)
+        inv[s_order] = np.arange(len(s_order))
+        d2_back = np.asarray(d2_s)[inv][:S]
+        idx_back = t_order[np.asarray(idx_s)][inv][:S]
+        bid, bd2 = _oracle(src, tgt, tmask)
+        inside = bd2 <= gate * gate
+        np.testing.assert_allclose(d2_back[inside], d2_u[inside],
+                                   rtol=1e-4, atol=1e-4)
+        chosen = ((src - tgt[idx_back]) ** 2).sum(1)
+        np.testing.assert_allclose(chosen[inside], bd2[inside], atol=1e-3)
