@@ -1,0 +1,119 @@
+"""Speed-of-light check for the pose-graph LM step kernel.
+
+Times one full Levenberg-Marquardt step of the batch solver
+(`graph/solver.py:_lm_step` — residuals/Jacobians, dense (6N,6N) normal-
+equation assembly, damped Cholesky solve, SE(3) retraction, cost) at
+representative graph sizes, and compares against the analytic roofline of
+the dominant kernel, the dense Cholesky factorization:
+
+  * Cholesky of an M x M system (M = 6N) costs ~M^3/3 FMA = 2/3 M^3 flops.
+    The solve itself adds 2 triangular solves (~2 M^2 flops, negligible).
+  * The MXU executes these in f32 (geometry requires Precision.HIGHEST;
+    f32 on v5e MXU ~= 1/4 of the 197 Tflop/s bf16 rate ~= 49 Tflop/s).
+  * Assembly is E scatter-adds of 6x6 blocks into the (M, M) matrix —
+    HBM-bound on writing the dense H (~4 M^2 bytes at ~820 GB/s); it
+    matters only at small N where the Cholesky is cheap.
+
+The reference's analogue is GTSAM ISAM2's incremental Bayes-tree update
+(graphSLAM.py:102-105); we batch re-solve at the same cadence, so ms/step
+here is directly the per-`optimize()` device cost.
+
+Usage (on the TPU host):
+    python benchmarks/graph_roofline.py [N_POSES] [REPS]
+
+Prints one JSON line with measured ms/step and percent-of-roofline.
+Timing forces host transfers (np.asarray) because block_until_ready is
+unreliable through remote-execution backends.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_POSES = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+LOOP_EVERY = 40          # one loop-closure edge per this many poses
+
+MXU_F32_FLOPS = 49e12    # v5e: 197 Tflop/s bf16 / 4 for f32 accumulate paths
+HBM_BYTES_PER_S = 820e9
+
+
+def build_graph(n):
+    """Synthetic SLAM-shaped graph: odometry chain + SM chain + sparse
+    loop closures + GPS every 5 poses + prior on pose 0 (the regime of
+    run_graphSLAM.py:229-268)."""
+    from lidar_slam_arvc_tpu.graph import PoseGraph
+    from lidar_slam_arvc_tpu.utils import synthetic
+
+    T = synthetic.make_trajectory(n, radius=max(8.0, n / 40.0))
+    rng = np.random.default_rng(0)
+
+    n_bt = 2 * (n - 1) + n // LOOP_EVERY + 1
+    g = PoseGraph(T0=T[0], max_poses=n, max_between=n_bt, max_gps=n // 5 + 1)
+    g.init_graph()
+    for i in range(n - 1):
+        rel = np.linalg.inv(T[i]) @ T[i + 1]
+        noisy = rel.copy()
+        noisy[:3, 3] += rng.normal(scale=0.01, size=3)
+        g.add_initial_estimate(noisy, i + 1)
+        g.add_edge(noisy, i, i + 1, "SM")
+        g.add_edge(rel, i, i + 1, "ODO")
+    for k in range(1, n // LOOP_EVERY + 1):
+        i, j = 0, min(k * LOOP_EVERY, n - 1)
+        g.add_edge(np.linalg.inv(T[i]) @ T[j], i, j, "SM")
+    for i in range(0, n, 5):
+        g.add_gps_factor(T[i][0, 3], T[i][1, 3], T[i][2, 3], i)
+    return g
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lidar_slam_arvc_tpu.graph.solver import _lm_step
+
+    g = build_graph(N_POSES)
+    poses = jnp.asarray(g.poses)
+    factors = g._factor_data()
+    n_active = jnp.asarray(g.n_poses, dtype=jnp.int32)
+
+    # REPS dependent steps inside one program so per-dispatch tunnel latency
+    # amortizes out; each step feeds the next (a genuine LM iteration chain).
+    @jax.jit
+    def run(poses):
+        def body(_, carry):
+            p, acc = carry
+            p2, cost = _lm_step(p, factors, n_active, jnp.float32(1e-6))
+            return p2, acc + cost
+        return jax.lax.fori_loop(0, REPS, body, (poses, 0.0))
+
+    out = run(poses)                       # compile + warmup
+    np.asarray(out[1])
+    t0 = time.time()
+    out = run(poses)
+    np.asarray(out[1])
+    dt = time.time() - t0
+    ms_per_step = dt / REPS * 1e3
+
+    M = N_POSES * 6
+    chol_flops = (2.0 / 3.0) * M ** 3
+    t_chol = chol_flops / MXU_F32_FLOPS * 1e3
+    t_assemble = 4.0 * M * M / HBM_BYTES_PER_S * 1e3  # write dense H once
+    roofline_ms = t_chol + t_assemble
+
+    n_edges = int(np.asarray(factors.bt_i).shape[0])
+    print(json.dumps({
+        "n_poses": N_POSES, "n_between": n_edges, "reps": REPS,
+        "ms_per_lm_step": round(ms_per_step, 3),
+        "roofline_ms": round(roofline_ms, 3),
+        "pct_of_light": round(100 * roofline_ms / ms_per_step, 1),
+        "steps_per_s": round(1e3 / ms_per_step, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,9 @@ def main():
     paths = (
         ("xla", lambda s, t, m, sm: nn_search(s, t, m)),
         ("pallas", lambda s, t, m, sm: nn_search_pallas(
-            s, t, m, interpret=interp)),
+            s, t, m, interpret=interp, impl="vpu")),
+        ("pallas_mxu", lambda s, t, m, sm: nn_search_pallas(
+            s, t, m, interpret=interp, impl="mxu")),
         ("pruned", lambda s, t, m, sm: nn_search_pruned(
             s, sm, t, m, gate=GATE, interpret=interp)),
     )
@@ -103,6 +105,7 @@ def main():
         "S": S, "T": T, "reps": REPS, "batch": BATCH,
         "xla_ms": round(results["xla"], 4),
         "pallas_ms": round(results["pallas"], 4),
+        "pallas_mxu_ms": round(results["pallas_mxu"], 4),
         "pruned_ms": round(results["pruned"], 4),
         "roofline_xla_ms": round(roofline_xla, 4),
         "roofline_pallas_ms": round(roofline_pallas, 4),

@@ -1,14 +1,21 @@
 """Pallas TPU kernel for the nearest-neighbor sweep.
 
-Fuses the distance matmul, the running row-min and the argmin bookkeeping of
-ops.nn.nn_search into one kernel: the (BS, BT) score tile lives only in
-VMEM/registers, the (S, T) distance matrix never touches HBM, and the
-per-source best (value, index) carries across target tiles in VMEM scratch.
+Fuses the distance computation, the running row-min and the argmin
+bookkeeping of ops.nn.nn_search into one kernel: the (BS, BT) score tile
+lives only in VMEM/registers, the (S, T) distance matrix never touches HBM,
+and the per-source best (value, index) carries across target tiles in VMEM
+scratch.
 
-Two VPU savings over the XLA formulation:
-  * the ||s||^2 term is dropped inside the sweep — it is constant per source
-    row and cannot change the argmin — and added back once at the end;
-  * min and argmin are computed from one fused select pass per tile.
+Two distance formulations are provided:
+
+  * ``impl='vpu'`` (default): per-coordinate broadcast subtract/square,
+    score = dx^2+dy^2+dz^2 entirely on the VPU in exact f32. The matmul
+    identity is a bad fit for the MXU here — the contraction depth is 3
+    (padded to 128 on the systolic array, ~42x wasted work) and geometry
+    needs Precision.HIGHEST (6 bf16 passes); the VPU formulation avoids
+    both, and is also better conditioned (no ||t||^2 - 2 s.t cancellation).
+  * ``impl='mxu'``: the original fused matmul-identity sweep, kept for
+    benchmarking (benchmarks/nn_roofline.py measures both).
 
 Grid: (S/BS, T/BT), target-minor; the output block for a source tile is
 revisited across target tiles ("arbitrary" minor dimension), with scratch
@@ -27,16 +34,51 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e12
 
 
-def _nn_kernel(src_ref, tgt_ref, t2_ref, out_d2_ref, out_idx_ref,
-               best_val, best_idx):
-    j = pl.program_id(1)
-    n_j = pl.num_programs(1)
+def _finish(j, src_ref, out_d2_ref, out_idx_ref, best_val, best_idx,
+            add_s2: bool):
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        if add_s2:
+            src = src_ref[:]
+            s2 = jnp.sum(src * src, axis=1, keepdims=True)
+            out_d2_ref[:] = jnp.maximum(best_val[:] + s2, 0.0)
+        else:
+            out_d2_ref[:] = best_val[:]
+        out_idx_ref[:] = best_idx[:]
 
+
+def _update_best(score, j, best_val, best_idx):
     @pl.when(j == 0)
     def _():
         best_val[:] = jnp.full_like(best_val, jnp.inf)
         best_idx[:] = jnp.zeros_like(best_idx)
 
+    tile_min = jnp.min(score, axis=1, keepdims=True)            # (BS, 1)
+    tile_arg = jnp.argmin(score, axis=1).astype(jnp.int32)[:, None]
+    tile_arg = tile_arg + j * score.shape[1]
+
+    better = tile_min < best_val[:]
+    best_val[:] = jnp.where(better, tile_min, best_val[:])
+    best_idx[:] = jnp.where(better, tile_arg, best_idx[:])
+
+
+def _nn_kernel_vpu(src_ref, tgtT_ref, pen_ref, out_d2_ref, out_idx_ref,
+                   best_val, best_idx):
+    j = pl.program_id(1)
+    src = src_ref[:]                                 # (BS, 3)
+    # (BS,1) - (1,BT) lane-broadcasts: pure VPU, exact f32
+    dx = src[:, 0:1] - tgtT_ref[0:1, :]
+    dy = src[:, 1:2] - tgtT_ref[1:2, :]
+    dz = src[:, 2:3] - tgtT_ref[2:3, :]
+    score = dx * dx + dy * dy + dz * dz + pen_ref[:]  # (BS, BT)
+    _update_best(score, j, best_val, best_idx)
+    _finish(j, src_ref, out_d2_ref, out_idx_ref, best_val, best_idx,
+            add_s2=False)
+
+
+def _nn_kernel_mxu(src_ref, tgt_ref, t2_ref, out_d2_ref, out_idx_ref,
+                   best_val, best_idx):
+    j = pl.program_id(1)
     src = src_ref[:]                        # (BS, 3)
     tgt = tgt_ref[:]                        # (BT, 3)
     # score = ||t||^2 - 2 s.t  (||s||^2 added after the sweep).
@@ -48,28 +90,17 @@ def _nn_kernel(src_ref, tgt_ref, t2_ref, out_d2_ref, out_idx_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)  # (BS, BT)
     score = t2_ref[:] - 2.0 * cross          # t2 broadcast (1, BT)
-
-    tile_min = jnp.min(score, axis=1, keepdims=True)            # (BS, 1)
-    tile_arg = jnp.argmin(score, axis=1).astype(jnp.int32)[:, None]
-    bt = score.shape[1]
-    tile_arg = tile_arg + j * bt
-
-    better = tile_min < best_val[:]
-    best_val[:] = jnp.where(better, tile_min, best_val[:])
-    best_idx[:] = jnp.where(better, tile_arg, best_idx[:])
-
-    @pl.when(j == n_j - 1)
-    def _():
-        s2 = jnp.sum(src * src, axis=1, keepdims=True)
-        out_d2_ref[:] = jnp.maximum(best_val[:] + s2, 0.0)
-        out_idx_ref[:] = best_idx[:]
+    _update_best(score, j, best_val, best_idx)
+    _finish(j, src_ref, out_d2_ref, out_idx_ref, best_val, best_idx,
+            add_s2=True)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("src_block", "tgt_block", "interpret"))
+                   static_argnames=("src_block", "tgt_block", "interpret",
+                                    "impl"))
 def nn_search_pallas(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
                      src_block: int = 512, tgt_block: int = 2048,
-                     interpret: bool = False):
+                     interpret: bool = False, impl: str = "vpu"):
     """Drop-in Pallas variant of ops.nn.nn_search (3-D points only)."""
     S = src.shape[0]
     T = tgt.shape[0]
@@ -78,29 +109,45 @@ def nn_search_pallas(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
     src_p = jnp.pad(src, ((0, pad_s), (0, 0)))
     tgt_p = jnp.pad(tgt, ((0, pad_t), (0, 0)))
     mask_p = jnp.pad(tgt_mask, (0, pad_t))
-    t2 = (jnp.sum(tgt_p * tgt_p, axis=-1)
-          + jnp.where(mask_p, 0.0, _BIG))[None, :]  # (1, Tp)
 
     Sp = src_p.shape[0]
     Tp = tgt_p.shape[0]
     grid = (Sp // src_block, Tp // tgt_block)
+    mem = pl.ANY if interpret else pltpu.VMEM
+
+    if impl == "vpu":
+        kernel = _nn_kernel_vpu
+        aux_in = (tgt_p.T,                                      # (3, Tp)
+                  jnp.where(mask_p, 0.0, _BIG)[None, :])        # (1, Tp)
+        aux_specs = [
+            pl.BlockSpec((3, tgt_block), lambda i, j: (0, j), memory_space=mem),
+            pl.BlockSpec((1, tgt_block), lambda i, j: (0, j), memory_space=mem),
+        ]
+    elif impl == "mxu":
+        kernel = _nn_kernel_mxu
+        t2 = (jnp.sum(tgt_p * tgt_p, axis=-1)
+              + jnp.where(mask_p, 0.0, _BIG))[None, :]          # (1, Tp)
+        aux_in = (tgt_p, t2)
+        aux_specs = [
+            pl.BlockSpec((tgt_block, 3), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((1, tgt_block), lambda i, j: (0, j), memory_space=mem),
+        ]
+    else:
+        raise ValueError(f"unknown impl {impl!r} (vpu|mxu)")
 
     d2, idx = pl.pallas_call(
-        _nn_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((src_block, 3), lambda i, j: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((tgt_block, 3), lambda i, j: (j, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, tgt_block), lambda i, j: (0, j),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=mem),
+            *aux_specs,
         ],
         out_specs=[
             pl.BlockSpec((src_block, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=mem),
             pl.BlockSpec((src_block, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=mem),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Sp, 1), jnp.float32),
@@ -114,6 +161,6 @@ def nn_search_pallas(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
             dimension_semantics=("parallel", "arbitrary"),
         ) if not interpret else None,
         interpret=interpret,
-    )(src_p, tgt_p, t2)
+    )(src_p, *aux_in)
 
     return idx[:S, 0], d2[:S, 0]

@@ -204,7 +204,8 @@ class TestGroundPlane:
 class TestPallasNN:
     """Pallas NN kernel vs the XLA formulation (interpret mode on CPU)."""
 
-    def test_matches_xla(self, rng):
+    @pytest.mark.parametrize("impl", ["vpu", "mxu"])
+    def test_matches_xla(self, rng, impl):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
         src = rng.normal(size=(300, 3)).astype(np.float32) * 10
         tgt = rng.normal(size=(500, 3)).astype(np.float32) * 10
@@ -214,17 +215,18 @@ class TestPallasNN:
                            jnp.asarray(mask), src_block=128, tgt_block=128)
         i2, d2 = nn_search_pallas(jnp.asarray(src), jnp.asarray(tgt),
                                   jnp.asarray(mask), src_block=128,
-                                  tgt_block=128, interpret=True)
+                                  tgt_block=128, interpret=True, impl=impl)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
 
-    def test_non_multiple_shapes(self, rng):
+    @pytest.mark.parametrize("impl", ["vpu", "mxu"])
+    def test_non_multiple_shapes(self, rng, impl):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
         src = rng.normal(size=(77, 3)).astype(np.float32)
         tgt = rng.normal(size=(131, 3)).astype(np.float32)
         i2, d2 = nn_search_pallas(jnp.asarray(src), jnp.asarray(tgt),
                                   jnp.ones(131, dtype=bool), src_block=64,
-                                  tgt_block=128, interpret=True)
+                                  tgt_block=128, interpret=True, impl=impl)
         from scipy.spatial import cKDTree
         _, i_ref = cKDTree(tgt).query(src)
         np.testing.assert_array_equal(np.asarray(i2), i_ref)
