@@ -6,7 +6,7 @@ lives only in VMEM/registers, the (S, T) distance matrix never touches HBM,
 and the per-source best (value, index) carries across target tiles in VMEM
 scratch.
 
-Two distance formulations are provided:
+Distance formulations provided (benchmarks/nn_roofline.py measures all):
 
   * ``impl='vpu'`` (default): per-coordinate broadcast subtract/square,
     score = dx^2+dy^2+dz^2 entirely on the VPU in exact f32. The matmul
@@ -14,8 +14,15 @@ Two distance formulations are provided:
     (padded to 128 on the systolic array, ~42x wasted work) and geometry
     needs Precision.HIGHEST (6 bf16 passes); the VPU formulation avoids
     both, and is also better conditioned (no ||t||^2 - 2 s.t cancellation).
+  * ``impl='vpu2'``: like 'vpu' but the validity penalty is baked into the
+    target coordinates (masked points moved to a far sentinel), dropping
+    the penalty stream and its per-element add.  Masked winners report
+    d2 ~ 4e8 instead of ~1e12 — still far beyond any correspondence gate.
+  * ``impl='vpu_t'``: transposed score tile (BT, BS) — sources on lanes,
+    targets on sublanes; min/argmin reduce across sublanes instead of
+    lanes.  Sentinel masking as in 'vpu2'.
   * ``impl='mxu'``: the original fused matmul-identity sweep, kept for
-    benchmarking (benchmarks/nn_roofline.py measures both).
+    benchmarking.
 
 Grid: (S/BS, T/BT), target-minor; the output block for a source tile is
 revisited across target tiles ("arbitrary" minor dimension), with scratch
@@ -32,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e12
+_SENT = 2e4  # sentinel coordinate for masked targets (d2 ~ 4e8 >> any gate)
 
 
 def _finish(j, src_ref, out_d2_ref, out_idx_ref, best_val, best_idx,
@@ -76,6 +84,48 @@ def _nn_kernel_vpu(src_ref, tgtT_ref, pen_ref, out_d2_ref, out_idx_ref,
             add_s2=False)
 
 
+def _nn_kernel_vpu2(src_ref, tgtT_ref, out_d2_ref, out_idx_ref,
+                    best_val, best_idx):
+    """'vpu' minus the penalty stream: masked targets sit at _SENT."""
+    j = pl.program_id(1)
+    src = src_ref[:]                                 # (BS, 3)
+    dx = src[:, 0:1] - tgtT_ref[0:1, :]
+    dy = src[:, 1:2] - tgtT_ref[1:2, :]
+    dz = src[:, 2:3] - tgtT_ref[2:3, :]
+    score = dx * dx + dy * dy + dz * dz              # (BS, BT)
+    _update_best(score, j, best_val, best_idx)
+    _finish(j, src_ref, out_d2_ref, out_idx_ref, best_val, best_idx,
+            add_s2=False)
+
+
+def _nn_kernel_vpu_t(srcT_ref, tgt_ref, out_d2_ref, out_idx_ref,
+                     best_val, best_idx):
+    """Transposed tile: score is (BT, BS); reductions run over sublanes."""
+    j = pl.program_id(1)
+    dx = tgt_ref[:, 0:1] - srcT_ref[0:1, :]          # (BT, BS)
+    dy = tgt_ref[:, 1:2] - srcT_ref[1:2, :]
+    dz = tgt_ref[:, 2:3] - srcT_ref[2:3, :]
+    score = dx * dx + dy * dy + dz * dz
+
+    @pl.when(j == 0)
+    def _():
+        best_val[:] = jnp.full_like(best_val, jnp.inf)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    tile_min = jnp.min(score, axis=0, keepdims=True)             # (1, BS)
+    tile_arg = jnp.argmin(score, axis=0).astype(jnp.int32)[None, :]
+    tile_arg = tile_arg + j * score.shape[0]
+
+    better = tile_min < best_val[:]
+    best_val[:] = jnp.where(better, tile_min, best_val[:])
+    best_idx[:] = jnp.where(better, tile_arg, best_idx[:])
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_d2_ref[:] = best_val[:]
+        out_idx_ref[:] = best_idx[:]
+
+
 def _nn_kernel_mxu(src_ref, tgt_ref, t2_ref, out_d2_ref, out_idx_ref,
                    best_val, best_idx):
     j = pl.program_id(1)
@@ -115,6 +165,41 @@ def nn_search_pallas(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
     grid = (Sp // src_block, Tp // tgt_block)
     mem = pl.ANY if interpret else pltpu.VMEM
 
+    if impl == "vpu_t":
+        # transposed tile: (3+pad, Sp) sources on lanes, (Tp, 3) targets on
+        # sublanes; outputs/scratch are (1, BS) rows
+        srcT = jnp.pad(src_p.T, ((0, 5), (0, 0)))               # (8, Sp)
+        tgt_sent = jnp.where(mask_p[:, None], tgt_p, _SENT)
+        d2, idx = pl.pallas_call(
+            _nn_kernel_vpu_t,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, src_block), lambda i, j: (0, i),
+                             memory_space=mem),
+                pl.BlockSpec((tgt_block, 3), lambda i, j: (j, 0),
+                             memory_space=mem),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, src_block), lambda i, j: (0, i),
+                             memory_space=mem),
+                pl.BlockSpec((1, src_block), lambda i, j: (0, i),
+                             memory_space=mem),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Sp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Sp), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, src_block), jnp.float32),
+                pltpu.VMEM((1, src_block), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ) if not interpret else None,
+            interpret=interpret,
+        )(srcT, tgt_sent)
+        return idx[0, :S], d2[0, :S]
+
     if impl == "vpu":
         kernel = _nn_kernel_vpu
         aux_in = (tgt_p.T,                                      # (3, Tp)
@@ -122,6 +207,13 @@ def nn_search_pallas(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
         aux_specs = [
             pl.BlockSpec((3, tgt_block), lambda i, j: (0, j), memory_space=mem),
             pl.BlockSpec((1, tgt_block), lambda i, j: (0, j), memory_space=mem),
+        ]
+    elif impl == "vpu2":
+        kernel = _nn_kernel_vpu2
+        tgtT_sent = jnp.where(mask_p, tgt_p.T, _SENT)           # (3, Tp)
+        aux_in = (tgtT_sent,)
+        aux_specs = [
+            pl.BlockSpec((3, tgt_block), lambda i, j: (0, j), memory_space=mem),
         ]
     elif impl == "mxu":
         kernel = _nn_kernel_mxu
@@ -133,7 +225,7 @@ def nn_search_pallas(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
             pl.BlockSpec((1, tgt_block), lambda i, j: (0, j), memory_space=mem),
         ]
     else:
-        raise ValueError(f"unknown impl {impl!r} (vpu|mxu)")
+        raise ValueError(f"unknown impl {impl!r} (vpu|vpu2|vpu_t|mxu)")
 
     d2, idx = pl.pallas_call(
         kernel,

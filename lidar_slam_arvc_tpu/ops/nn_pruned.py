@@ -163,21 +163,21 @@ def nn_search_pruned_presorted(ss: jax.Array, sv: jax.Array, ts: jax.Array,
         grid=(n_i, n_j),
         in_specs=[
             pl.BlockSpec((src_block, 3), lambda i, j, perm, td: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((src_block, 1), lambda i, j, perm, td: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((tgt_block, 3),
                          lambda i, j, perm, td: (perm[i, j], 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, tgt_block),
                          lambda i, j, perm, td: (0, perm[i, j]),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((src_block, 1), lambda i, j, perm, td: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((src_block, 1), lambda i, j, perm, td: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((src_block, 1), jnp.float32),

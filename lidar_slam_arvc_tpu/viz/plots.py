@@ -155,6 +155,144 @@ def plot_gps_osm(df_gps, path: str, expand: float = 0.001) -> bool:
     return tiles_ok
 
 
+def compute_distance(lat1, lng1, lat2, lng2):
+    """Haversine great-circle distance in meters (reference
+    tools/plottools.py:174-189, R = 6373 km).  Vectorized over numpy inputs."""
+    R = 6373.0 * 1000.0
+    lat1, lng1, lat2, lng2 = (np.radians(np.asarray(v, dtype=np.float64))
+                              for v in (lat1, lng1, lat2, lng2))
+    a = (np.sin((lat2 - lat1) / 2) ** 2
+         + np.cos(lat1) * np.cos(lat2) * np.sin((lng2 - lng1) / 2) ** 2)
+    return R * 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+
+
+def plot_gps_points(df_gps, path: str,
+                    title: str = "GPS POINTS (index, radius error in meters)",
+                    annotate_index: bool = False,
+                    annotate_error: bool = False) -> None:
+    """lon/lat scatter with optional index / 2-sigma radius annotations
+    (reference tools/plottools.py:191-216), saved headless."""
+    plt = _agg()
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.scatter(df_gps["longitude"], df_gps["latitude"])
+    ax.set_title(title)
+    ax.set_xlabel("longitude")
+    ax.set_ylabel("latitude")
+    for i in range(0, len(df_gps), 10):
+        x = df_gps["longitude"].iloc[i]
+        y = df_gps["latitude"].iloc[i]
+        if annotate_index:
+            ax.annotate(str(i), (x, y), fontsize=12)
+        if annotate_error:
+            s = 2 * np.sqrt(df_gps["covariance_d1"].iloc[i])
+            ax.annotate(f"{s:.3f}", (x, y), fontsize=12)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_utm_points(df_utm, path: str,
+                    title: str = "UTM POINTS (index, radius error in meters)",
+                    annotate_index: bool = False,
+                    annotate_error: bool = False) -> None:
+    """UTM x/y scatter with the same annotation options (reference
+    tools/plottools.py:218-243), saved headless."""
+    plt = _agg()
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.scatter(df_utm["x"], df_utm["y"])
+    ax.set_title(title)
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    for i in range(0, len(df_utm), 10):
+        x = df_utm["x"].iloc[i]
+        y = df_utm["y"].iloc[i]
+        if annotate_index:
+            ax.annotate(str(i), (x, y), fontsize=12)
+        if annotate_error:
+            s = 2 * np.sqrt(df_utm["covariance_d1"].iloc[i])
+            ax.annotate(f"{s:.3f}", (x, y), fontsize=12)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_quaternion_data(df_data, path: str,
+                         title: str = "Quaternion data to Euler",
+                         annotate_time: bool = False) -> None:
+    """Per-sample quaternion orientation converted to XYZ Euler angles and
+    plotted against index or experiment time (reference
+    tools/plottools.py:96-126; the reference's ad hoc -2.5 rad yaw shift is
+    not reproduced — it was a dataset-specific mounting offset)."""
+    from lidar_slam_arvc_tpu.geom.hostmath import quat_to_rot_np
+    plt = _agg()
+    q = np.column_stack([df_data["qw"], df_data["qx"],
+                         df_data["qy"], df_data["qz"]]).astype(np.float64)
+
+    def euler_xyz(R):  # first branch of the XYZ mobile-axes extraction
+        beta = np.arcsin(np.clip(R[0, 2], -1.0, 1.0))
+        alpha = np.arctan2(-R[1, 2] / np.cos(beta), R[2, 2] / np.cos(beta))
+        gamma = np.arctan2(-R[0, 1] / np.cos(beta), R[0, 0] / np.cos(beta))
+        return alpha, beta, gamma
+
+    eul = np.array([euler_xyz(quat_to_rot_np(qi)) for qi in q])
+    if annotate_time:
+        ts = np.asarray(df_data["#timestamp [ns]"], dtype=np.float64)
+        xs = (ts - ts[0]) / 1e9
+        xlabel = "Experiment time (s)"
+    else:
+        xs = np.arange(len(eul))
+        xlabel = "Data index"
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for k, color in enumerate(("red", "green", "blue")):
+        ax.plot(xs, eul[:, k], color=color, linestyle="dashed", marker="o",
+                markersize=3)
+    ax.set_title(title)
+    ax.set_xlabel(xlabel)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_xyz_data(df_data, path: str, title: str = "XYZ",
+                  annotate_time: bool = False) -> None:
+    """x/y/z columns against index or time (reference
+    tools/plottools.py:129-143), saved headless."""
+    plt = _agg()
+    if annotate_time:
+        ts = np.asarray(df_data["#timestamp [ns]"], dtype=np.float64)
+        xs = (ts - ts[0]) / 1e9
+    else:
+        xs = np.arange(len(df_data))
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for col, color in (("x", "red"), ("y", "green"), ("z", "blue")):
+        ax.plot(xs, df_data[col], color=color, linestyle="dashed", marker="o",
+                markersize=3, label=col)
+    ax.set_title(title)
+    ax.legend()
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_xy_data(df_data, path: str, title: str = "XY", sample: int = 10,
+                 annotate_time: bool = False,
+                 annotate_index: bool = False) -> None:
+    """XY scatter with optional time/index annotations (reference
+    tools/plottools.py:145-158), saved headless."""
+    plt = _agg()
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.scatter(df_data["x"], df_data["y"], color="blue")
+    if annotate_time:
+        ts = np.asarray(df_data["#timestamp [ns]"], dtype=np.float64)
+        for i in range(0, len(df_data), sample):
+            ax.annotate(f"{(ts[i] - ts[0]) / 1e9:.3f}",
+                        (df_data["x"].iloc[i], df_data["y"].iloc[i]),
+                        fontsize=12)
+    if annotate_index:
+        for i in range(0, len(df_data), sample):
+            ax.annotate(str(i), (df_data["x"].iloc[i], df_data["y"].iloc[i]),
+                        fontsize=12)
+    ax.set_title(title)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_registration(src_points, tgt_points, transform, path: str,
                       max_points: int = 5000) -> None:
     """Overlay of a registered pair: source (red) transformed into the

@@ -204,7 +204,7 @@ class TestGroundPlane:
 class TestPallasNN:
     """Pallas NN kernel vs the XLA formulation (interpret mode on CPU)."""
 
-    @pytest.mark.parametrize("impl", ["vpu", "mxu"])
+    @pytest.mark.parametrize("impl", ["vpu", "vpu2", "vpu_t", "mxu"])
     def test_matches_xla(self, rng, impl):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
         src = rng.normal(size=(300, 3)).astype(np.float32) * 10
@@ -219,7 +219,7 @@ class TestPallasNN:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
 
-    @pytest.mark.parametrize("impl", ["vpu", "mxu"])
+    @pytest.mark.parametrize("impl", ["vpu", "vpu2", "vpu_t", "mxu"])
     def test_non_multiple_shapes(self, rng, impl):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
         src = rng.normal(size=(77, 3)).astype(np.float32)

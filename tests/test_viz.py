@@ -225,3 +225,51 @@ class TestGpsOsmPlot:
         tiles = plot_gps_osm(df, str(out))
         assert out.exists() and out.stat().st_size > 1000
         assert tiles in (True, False)  # tiles need network; fallback is fine
+
+
+class TestPlottoolsParity:
+    """Headless equivalents of tools/plottools.py helpers."""
+
+    def test_haversine(self):
+        from lidar_slam_arvc_tpu.viz.plots import compute_distance
+        # Madrid -> Barcelona great-circle is ~505 km
+        d = compute_distance(40.4168, -3.7038, 41.3874, 2.1686)
+        assert 490e3 < float(d) < 520e3
+        # vectorized + zero distance
+        d2 = compute_distance([40.0, 40.0], [0.0, 0.0], [40.0, 41.0], [0.0, 0.0])
+        assert d2[0] == 0.0 and 110e3 < d2[1] < 112e3
+
+    def test_gps_utm_xyz_xy_quaternion_plots(self, tmp_path, rng):
+        import pandas as pd
+        from lidar_slam_arvc_tpu.viz import plots
+        n = 25
+        ts = np.arange(n) * int(1e8) + int(1e18)
+        df_gps = pd.DataFrame({
+            "#timestamp [ns]": ts,
+            "latitude": 40.0 + 1e-4 * np.arange(n),
+            "longitude": -3.0 + 1e-4 * np.arange(n),
+            "covariance_d1": np.full(n, 2.5),
+        })
+        df_utm = pd.DataFrame({
+            "#timestamp [ns]": ts, "x": np.arange(n, dtype=float),
+            "y": np.sin(np.arange(n)), "z": np.zeros(n),
+            "covariance_d1": np.full(n, 2.5),
+        })
+        q = rng.normal(size=(n, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        df_q = pd.DataFrame({
+            "#timestamp [ns]": ts, "qw": q[:, 0], "qx": q[:, 1],
+            "qy": q[:, 2], "qz": q[:, 3],
+        })
+        plots.plot_gps_points(df_gps, str(tmp_path / "gps.png"),
+                              annotate_index=True, annotate_error=True)
+        plots.plot_utm_points(df_utm, str(tmp_path / "utm.png"),
+                              annotate_index=True, annotate_error=True)
+        plots.plot_xyz_data(df_utm, str(tmp_path / "xyz.png"),
+                            annotate_time=True)
+        plots.plot_xy_data(df_utm, str(tmp_path / "xy.png"),
+                           annotate_index=True, annotate_time=True)
+        plots.plot_quaternion_data(df_q, str(tmp_path / "quat.png"),
+                                   annotate_time=True)
+        for name in ("gps", "utm", "xyz", "xy", "quat"):
+            assert (tmp_path / f"{name}.png").stat().st_size > 1000
