@@ -51,12 +51,14 @@ class ICPParams(NamedTuple):
     # reference keyframe.py:246-252 uses the defaults).  Under vmap the
     # batch runs until every pair converges.  0 disables early exit.
     convergence_tol: float = 1e-5
-    # correspondence kernel: 'auto' uses the fused Pallas sweep on TPU
-    # (keeps the score tiles in VMEM; ~1.4x over the XLA formulation) and
-    # the tiled XLA path elsewhere.  'pruned' adds Morton-sorted blocks
-    # visited nearest-first with bbox-bound skipping (ops/nn_pruned.py):
-    # exact within the correspondence gate, large VPU savings once ICP
-    # settles; TPU only.
+    # correspondence kernel: 'auto' uses the fused Pallas sweep on TPU at
+    # its tuned formulation/tile shape (currently 'vpu_t' — transposed
+    # sublane reductions, 1.5x over 'vpu') and the tiled XLA path
+    # elsewhere.  Explicit formulation names ('vpu'|'vpu2'|'vpu_t'|'mxu')
+    # force that Pallas variant; 'pallas' is an alias for the tuned
+    # default.  'pruned' adds Morton-sorted blocks visited nearest-first
+    # with bbox-bound skipping (ops/nn_pruned.py): exact within the
+    # correspondence gate; TPU only.
     nn_impl: str = "auto"
     # Coarse-to-fine: run up to ``coarse_iterations`` first with the source
     # statically strided by ``coarse_factor``, then refine at full
@@ -158,12 +160,21 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
                 p, src_mask, tpts, tmask,
                 gate=params.max_correspondence_distance,
                 src_block=sb, tgt_block=tb, interpret=interp)
-    elif params.nn_impl == "pallas" or (params.nn_impl == "auto"
-                                        and jax.default_backend() == "tpu"):
+    elif (params.nn_impl in ("pallas", "vpu", "vpu2", "vpu_t", "mxu")
+          or (params.nn_impl == "auto" and jax.default_backend() == "tpu")):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
-        nn = functools.partial(nn_search_pallas,
-                               src_block=min(512, params.src_block),
-                               tgt_block=params.tgt_block)
+        if params.nn_impl in ("auto", "pallas", "vpu_t"):
+            # transposed sublane-reduction formulation at its tuned tile
+            # shape — 0.29 ms vs 0.45 ms per 8192^2 sweep for 'vpu'
+            # (benchmarks/nn_impl_sweep.py, TPU v5e); sources ride the lane
+            # axis so the block roles swap, and the (1024, 2048) f32 score
+            # tile stays inside the 16 MB scoped-VMEM limit
+            nn = functools.partial(nn_search_pallas, impl="vpu_t",
+                                   src_block=2048, tgt_block=1024)
+        else:
+            nn = functools.partial(nn_search_pallas, impl=params.nn_impl,
+                                   src_block=min(512, params.src_block),
+                                   tgt_block=params.tgt_block)
     else:
         nn = functools.partial(nn_search, src_block=params.src_block,
                                tgt_block=params.tgt_block)
