@@ -259,3 +259,36 @@ def schur_lm_step_jit(mesh: Mesh, sep_capacity: int = 64, axis: str = "data"):
         return schur_lm_step(mesh, poses, factors, n_active, lam,
                              sep_capacity=sep_capacity, axis=axis)
     return step
+
+
+def schur_solve_graph(mesh: Mesh, poses: jax.Array, factors: FactorData,
+                      n_active, sep_capacity: int = 64,
+                      max_iterations: int = 15, lam0: float = 1e-6,
+                      tol: float = 1e-7, axis: str = "data"):
+    """Full LM loop over distributed Schur steps — the multi-device
+    counterpart of graph.solver.solve_graph (same host-controlled
+    accept/reject schedule).  Returns (poses, cost)."""
+    step = schur_lm_step_jit(mesh, sep_capacity=sep_capacity, axis=axis)
+    n_active = jnp.asarray(n_active, dtype=jnp.int32)
+    cost = float(graph_cost(poses, factors))
+    lam = lam0
+    for _ in range(max_iterations):
+        cand, cand_cost, n_sep = step(poses, factors, n_active,
+                                      jnp.asarray(lam, dtype=poses.dtype))
+        if int(n_sep) > sep_capacity:
+            raise ValueError(
+                f"separator count {int(n_sep)} exceeds sep_capacity "
+                f"{sep_capacity}; raise it (bound: mesh size * 2 + 2 per "
+                f"loop closure)")
+        cand_cost = float(cand_cost)
+        if not (cand_cost < cost) or not jnp.isfinite(cand_cost):
+            lam = min(lam * 10.0, 1e4)
+            if lam >= 1e4:
+                break
+            continue
+        improved = cost - cand_cost
+        poses, cost = cand, cand_cost
+        lam = max(lam / 5.0, 1e-9)
+        if improved < tol * max(cost, 1.0):
+            break
+    return poses, cost

@@ -108,3 +108,63 @@ class TestMultihost:
         assert covered == set(range(n))
         # overlap: every shard after the first starts one before its block
         assert shards[1][0] == shards[0][-1]
+
+
+class TestSchurSolver:
+    """Distributed Schur elimination vs the dense damped step (exact)."""
+
+    def _graph_with_loops(self, n=48, gps=True):
+        rng = np.random.default_rng(0)
+        from lidar_slam_arvc_tpu.utils import synthetic
+        T_gt = synthetic.make_trajectory(n, radius=5.0)
+        g = PoseGraph(max_poses=64, max_between=128, max_gps=16)
+        g.init_graph()
+        for i in range(n - 1):
+            rel = np.linalg.inv(T_gt[i]) @ T_gt[i + 1]
+            rel[:3, 3] += rng.normal(scale=0.02, size=3)
+            g.add_initial_estimate(rel, i + 1)
+            g.add_edge(rel, i, i + 1, "SM")
+        for (a, b) in [(2, 40), (5, 30), (12, 44)]:
+            g.add_edge(np.linalg.inv(T_gt[a]) @ T_gt[b], a, b, "SM")
+        if gps:
+            for i in (0, 20, 41):
+                z = T_gt[i][:3, 3] + rng.normal(scale=0.1, size=3)
+                g.add_gps_factor(z[0], z[1], z[2], i)
+        return g
+
+    def test_step_matches_dense(self):
+        from lidar_slam_arvc_tpu.graph.solver import _lm_step
+        from lidar_slam_arvc_tpu.parallel import schur_lm_step
+        g = self._graph_with_loops()
+        mesh = data_mesh(8)
+        poses = jnp.asarray(g.poses)
+        fd = g._factor_data()
+        ref, _ = _lm_step(poses, fd, jnp.int32(g.n_poses), jnp.float32(1e-4))
+        out, _, n_sep = schur_lm_step(mesh, poses, fd, g.n_poses, lam=1e-4,
+                                      sep_capacity=32)
+        assert int(n_sep) <= 32
+        np.testing.assert_allclose(np.asarray(out[:g.n_poses]),
+                                   np.asarray(ref[:g.n_poses]), atol=2e-4)
+
+    def test_solve_graph_converges(self):
+        from lidar_slam_arvc_tpu.graph.solver import graph_cost, solve_graph
+        from lidar_slam_arvc_tpu.parallel import schur_solve_graph
+        g = self._graph_with_loops(gps=False)
+        mesh = data_mesh(8)
+        poses = jnp.asarray(g.poses)
+        fd = g._factor_data()
+        c0 = float(graph_cost(poses, fd))
+        p_schur, c_schur = schur_solve_graph(mesh, poses, fd, g.n_poses,
+                                             sep_capacity=32,
+                                             max_iterations=8)
+        _, c_dense = solve_graph(poses, fd, g.n_poses, max_iterations=8)
+        assert c_schur < 0.5 * c0
+        assert c_schur <= 1.05 * c_dense + 1e-6
+
+    def test_separator_overflow_detected(self):
+        from lidar_slam_arvc_tpu.parallel import schur_solve_graph
+        g = self._graph_with_loops()
+        mesh = data_mesh(8)
+        with pytest.raises(ValueError, match="separator count"):
+            schur_solve_graph(mesh, jnp.asarray(g.poses), g._factor_data(),
+                              g.n_poses, sep_capacity=8, max_iterations=2)
