@@ -222,19 +222,20 @@ def marginal_covariances(poses: jax.Array, factors: FactorData,
     return cov.reshape(n, 6, n, 6)[jnp.arange(n), :, jnp.arange(n), :]
 
 
-def solve_graph(poses: jax.Array, factors: FactorData, n_active,
-                max_iterations: int = 15, lam0: float = 1e-6,
-                tol: float = 1e-7):
-    """LM loop (host-controlled accept/reject around jitted steps).
+def lm_drive(step_fn, poses: jax.Array, cost0: float,
+             max_iterations: int = 15, lam0: float = 1e-6,
+             tol: float = 1e-7):
+    """Host-controlled LM accept/reject schedule around a damped-step
+    callable ``step_fn(poses, lam) -> (candidate_poses, candidate_cost)``.
 
-    Returns (optimized poses, final cost).  Shapes are static, so repeated
-    calls with a growing graph (same capacities) reuse the same executable.
+    Shared by the single-device solve (solve_graph) and the distributed
+    Schur solve (parallel.schur.schur_solve_graph) so the schedule cannot
+    diverge between them.  Returns (poses, cost).
     """
-    n_active = jnp.asarray(n_active, dtype=jnp.int32)
-    cost = float(graph_cost(poses, factors))
+    cost = float(cost0)
     lam = lam0
     for _ in range(max_iterations):
-        cand, cand_cost = _lm_step(poses, factors, n_active, jnp.float32(lam))
+        cand, cand_cost = step_fn(poses, lam)
         cand_cost = float(cand_cost)
         if not (cand_cost < cost) or not jnp.isfinite(cand_cost):
             lam = min(lam * 10.0, 1e4)
@@ -247,3 +248,20 @@ def solve_graph(poses: jax.Array, factors: FactorData, n_active,
         if improved < tol * max(cost, 1.0):
             break
     return poses, cost
+
+
+def solve_graph(poses: jax.Array, factors: FactorData, n_active,
+                max_iterations: int = 15, lam0: float = 1e-6,
+                tol: float = 1e-7):
+    """LM loop (host-controlled accept/reject around jitted steps).
+
+    Returns (optimized poses, final cost).  Shapes are static, so repeated
+    calls with a growing graph (same capacities) reuse the same executable.
+    """
+    n_active = jnp.asarray(n_active, dtype=jnp.int32)
+
+    def step(p, lam):
+        return _lm_step(p, factors, n_active, jnp.float32(lam))
+
+    return lm_drive(step, poses, graph_cost(poses, factors),
+                    max_iterations=max_iterations, lam0=lam0, tol=tol)

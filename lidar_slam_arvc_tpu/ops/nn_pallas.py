@@ -15,9 +15,10 @@ Distance formulations provided (benchmarks/nn_roofline.py measures all):
     needs Precision.HIGHEST (6 bf16 passes); the VPU formulation avoids
     both, and is also better conditioned (no ||t||^2 - 2 s.t cancellation).
   * ``impl='vpu2'``: like 'vpu' but the validity penalty is baked into the
-    target coordinates (masked points moved to a far sentinel), dropping
-    the penalty stream and its per-element add.  Masked winners report
-    d2 ~ 4e8 instead of ~1e12 — still far beyond any correspondence gate.
+    target coordinates (masked points moved to the far sentinel _SENT),
+    dropping the penalty stream and its per-element add.  Masked winners
+    report d2 >= ~4e14 instead of ~1e12 — far beyond any correspondence
+    gate for any terrestrial coordinate frame.
   * ``impl='vpu_t'``: transposed score tile (BT, BS) — sources on lanes,
     targets on sublanes; min/argmin reduce across sublanes instead of
     lanes.  Sentinel masking as in 'vpu2'.
@@ -39,7 +40,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e12
-_SENT = 2e4  # sentinel coordinate for masked targets (d2 ~ 4e8 >> any gate)
+# sentinel coordinate for masked targets in the baked-penalty formulations:
+# -4e7 m is beyond any terrestrial coordinate frame (UTM northings reach
+# ~1e7), so d2 >= ~4e14 for every source with |coord| < 2e7 — no masked
+# target can win the argmin or pass a correspondence gate, matching the
+# additive-penalty semantics of 'vpu'/'mxu' without their extra stream.
+_SENT = -4e7
 
 
 def _finish(j, src_ref, out_d2_ref, out_idx_ref, best_val, best_idx,

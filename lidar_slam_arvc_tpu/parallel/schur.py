@@ -268,27 +268,19 @@ def schur_solve_graph(mesh: Mesh, poses: jax.Array, factors: FactorData,
     """Full LM loop over distributed Schur steps — the multi-device
     counterpart of graph.solver.solve_graph (same host-controlled
     accept/reject schedule).  Returns (poses, cost)."""
+    from lidar_slam_arvc_tpu.graph.solver import lm_drive
     step = schur_lm_step_jit(mesh, sep_capacity=sep_capacity, axis=axis)
     n_active = jnp.asarray(n_active, dtype=jnp.int32)
-    cost = float(graph_cost(poses, factors))
-    lam = lam0
-    for _ in range(max_iterations):
-        cand, cand_cost, n_sep = step(poses, factors, n_active,
-                                      jnp.asarray(lam, dtype=poses.dtype))
+
+    def lm_step(p, lam):
+        cand, cand_cost, n_sep = step(p, factors, n_active,
+                                      jnp.asarray(lam, dtype=p.dtype))
         if int(n_sep) > sep_capacity:
             raise ValueError(
                 f"separator count {int(n_sep)} exceeds sep_capacity "
                 f"{sep_capacity}; raise it (bound: mesh size * 2 + 2 per "
                 f"loop closure)")
-        cand_cost = float(cand_cost)
-        if not (cand_cost < cost) or not jnp.isfinite(cand_cost):
-            lam = min(lam * 10.0, 1e4)
-            if lam >= 1e4:
-                break
-            continue
-        improved = cost - cand_cost
-        poses, cost = cand, cand_cost
-        lam = max(lam / 5.0, 1e-9)
-        if improved < tol * max(cost, 1.0):
-            break
-    return poses, cost
+        return cand, cand_cost
+
+    return lm_drive(lm_step, poses, graph_cost(poses, factors),
+                    max_iterations=max_iterations, lam0=lam0, tol=tol)

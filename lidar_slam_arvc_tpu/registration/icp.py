@@ -163,18 +163,27 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
     elif (params.nn_impl in ("pallas", "vpu", "vpu2", "vpu_t", "mxu")
           or (params.nn_impl == "auto" and jax.default_backend() == "tpu")):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
+        # off-TPU the kernel only exists in (slow) interpret mode; keeps
+        # explicitly forced formulations selectable for CPU tests/debugging
+        interp = jax.default_backend() != "tpu"
         if params.nn_impl in ("auto", "pallas", "vpu_t"):
             # transposed sublane-reduction formulation at its tuned tile
             # shape — 0.29 ms vs 0.45 ms per 8192^2 sweep for 'vpu'
             # (benchmarks/nn_impl_sweep.py, TPU v5e); sources ride the lane
             # axis so the block roles swap, and the (1024, 2048) f32 score
-            # tile stays inside the 16 MB scoped-VMEM limit
+            # tile stays inside the 16 MB scoped-VMEM limit.  Blocks clamp
+            # to the (hardware-aligned) cloud sizes so small clouds don't
+            # pay for the full tuned tile.
+            sb = min(2048, -(-src_points.shape[0] // 128) * 128)
+            tb = min(1024, -(-tgt_pts.shape[0] // 8) * 8)
             nn = functools.partial(nn_search_pallas, impl="vpu_t",
-                                   src_block=2048, tgt_block=1024)
+                                   src_block=sb, tgt_block=tb,
+                                   interpret=interp)
         else:
             nn = functools.partial(nn_search_pallas, impl=params.nn_impl,
                                    src_block=min(512, params.src_block),
-                                   tgt_block=params.tgt_block)
+                                   tgt_block=params.tgt_block,
+                                   interpret=interp)
     else:
         nn = functools.partial(nn_search, src_block=params.src_block,
                                tgt_block=params.tgt_block)

@@ -166,52 +166,44 @@ def compute_distance(lat1, lng1, lat2, lng2):
     return R * 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
 
 
-def plot_gps_points(df_gps, path: str,
-                    title: str = "GPS POINTS (index, radius error in meters)",
-                    annotate_index: bool = False,
-                    annotate_error: bool = False) -> None:
-    """lon/lat scatter with optional index / 2-sigma radius annotations
-    (reference tools/plottools.py:191-216), saved headless."""
+def _plot_points(df, xcol, ycol, xlabel, ylabel, path, title,
+                 annotate_index, annotate_error, sample):
     plt = _agg()
     fig, ax = plt.subplots(figsize=(8, 8))
-    ax.scatter(df_gps["longitude"], df_gps["latitude"])
+    ax.scatter(df[xcol], df[ycol])
     ax.set_title(title)
-    ax.set_xlabel("longitude")
-    ax.set_ylabel("latitude")
-    for i in range(0, len(df_gps), 10):
-        x = df_gps["longitude"].iloc[i]
-        y = df_gps["latitude"].iloc[i]
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    for i in range(0, len(df), max(int(sample), 1)):
+        x = df[xcol].iloc[i]
+        y = df[ycol].iloc[i]
         if annotate_index:
             ax.annotate(str(i), (x, y), fontsize=12)
         if annotate_error:
-            s = 2 * np.sqrt(df_gps["covariance_d1"].iloc[i])
+            s = 2 * np.sqrt(df["covariance_d1"].iloc[i])
             ax.annotate(f"{s:.3f}", (x, y), fontsize=12)
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def plot_gps_points(df_gps, path: str,
+                    title: str = "GPS POINTS (index, radius error in meters)",
+                    annotate_index: bool = False,
+                    annotate_error: bool = False, sample: int = 10) -> None:
+    """lon/lat scatter with optional index / 2-sigma radius annotations
+    (reference tools/plottools.py:191-216), saved headless."""
+    _plot_points(df_gps, "longitude", "latitude", "longitude", "latitude",
+                 path, title, annotate_index, annotate_error, sample)
 
 
 def plot_utm_points(df_utm, path: str,
                     title: str = "UTM POINTS (index, radius error in meters)",
                     annotate_index: bool = False,
-                    annotate_error: bool = False) -> None:
+                    annotate_error: bool = False, sample: int = 10) -> None:
     """UTM x/y scatter with the same annotation options (reference
     tools/plottools.py:218-243), saved headless."""
-    plt = _agg()
-    fig, ax = plt.subplots(figsize=(8, 8))
-    ax.scatter(df_utm["x"], df_utm["y"])
-    ax.set_title(title)
-    ax.set_xlabel("x (m)")
-    ax.set_ylabel("y (m)")
-    for i in range(0, len(df_utm), 10):
-        x = df_utm["x"].iloc[i]
-        y = df_utm["y"].iloc[i]
-        if annotate_index:
-            ax.annotate(str(i), (x, y), fontsize=12)
-        if annotate_error:
-            s = 2 * np.sqrt(df_utm["covariance_d1"].iloc[i])
-            ax.annotate(f"{s:.3f}", (x, y), fontsize=12)
-    fig.savefig(path, dpi=120, bbox_inches="tight")
-    plt.close(fig)
+    _plot_points(df_utm, "x", "y", "x (m)", "y (m)", path, title,
+                 annotate_index, annotate_error, sample)
 
 
 def plot_quaternion_data(df_data, path: str,
@@ -226,10 +218,12 @@ def plot_quaternion_data(df_data, path: str,
     q = np.column_stack([df_data["qw"], df_data["qx"],
                          df_data["qy"], df_data["qz"]]).astype(np.float64)
 
-    def euler_xyz(R):  # first branch of the XYZ mobile-axes extraction
+    def euler_xyz(R):  # first branch of the XYZ mobile-axes extraction;
+        # arctan2 makes the cos(beta) scaling redundant and NaN-free at
+        # gimbal lock (cos(beta) >= 0 from arcsin, so signs are unchanged)
         beta = np.arcsin(np.clip(R[0, 2], -1.0, 1.0))
-        alpha = np.arctan2(-R[1, 2] / np.cos(beta), R[2, 2] / np.cos(beta))
-        gamma = np.arctan2(-R[0, 1] / np.cos(beta), R[0, 0] / np.cos(beta))
+        alpha = np.arctan2(-R[1, 2], R[2, 2])
+        gamma = np.arctan2(-R[0, 1], R[0, 0])
         return alpha, beta, gamma
 
     eul = np.array([euler_xyz(quat_to_rot_np(qi)) for qi in q])

@@ -134,3 +134,22 @@ class TestBatched:
         out = f(stack(cj.points), stack(cj.mask), stack(ci.points),
                 stack(ci.mask), stack(ci.normals), stack(jnp.eye(4)))
         assert out.transform.shape == (B, 4, 4)
+
+
+class TestNNImplDispatch:
+    """Forced Pallas formulations must work off-TPU via interpret mode."""
+
+    @pytest.mark.parametrize("impl", ["vpu", "vpu2", "vpu_t", "mxu"])
+    def test_forced_impl_runs_on_cpu(self, impl):
+        rng = np.random.default_rng(1)
+        tgt_pts = rng.uniform(-3, 3, (160, 3)).astype(np.float32)
+        T_gt = synthetic._yaw_T(0.2, 0.1, 0.05)
+        src_pts = (tgt_pts - T_gt[:3, 3]) @ T_gt[:3, :3]  # inv(T_gt) applied
+        ct = cl.from_numpy(tgt_pts, 256)
+        cs = cl.from_numpy(src_pts.astype(np.float32), 256)
+        params = ICPParams(max_correspondence_distance=2.0, max_iterations=4,
+                           src_block=64, tgt_block=64, nn_impl=impl)
+        res = icp(cs, ct, jnp.eye(4, dtype=jnp.float32), params,
+                  "point_to_point")
+        dpos, drot = pose_err(res.transform, T_gt)
+        assert dpos < 0.05 and drot < 0.02

@@ -127,7 +127,9 @@ class TestSchurSolver:
         for (a, b) in [(2, 40), (5, 30), (12, 44)]:
             g.add_edge(np.linalg.inv(T_gt[a]) @ T_gt[b], a, b, "SM")
         if gps:
-            for i in (0, 20, 41):
+            # 0/20/41 are interior; 40 is a loop-closure endpoint, i.e. a
+            # separator — covers the unary-factor-on-separator routing
+            for i in (0, 20, 40, 41):
                 z = T_gt[i][:3, 3] + rng.normal(scale=0.1, size=3)
                 g.add_gps_factor(z[0], z[1], z[2], i)
         return g
