@@ -28,7 +28,10 @@ import numpy as np
 N_SCANS = int(os.environ.get("BENCH_SCANS", 33))          # pairs = N-1
 SCAN_POINTS = int(os.environ.get("BENCH_POINTS", 12000))
 VOXEL = 0.2
-BATCH = int(os.environ.get("BENCH_BATCH", 8))
+# group size 4 measured best on TPU v5e: a vmapped group runs until every
+# member converges, so smaller groups waste fewer post-convergence
+# iterations (490/473/315 frames/s at 4/1/8)
+BATCH = int(os.environ.get("BENCH_BATCH", 4))
 ICP_ITERS = 30
 BASELINE_PAIRS = int(os.environ.get("BENCH_BASELINE_PAIRS", 3))
 CAP_RAW = int(os.environ.get("BENCH_CAP_RAW", 16384))

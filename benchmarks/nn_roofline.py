@@ -82,6 +82,9 @@ def main():
         ("xla", lambda s, t, m, sm: nn_search(s, t, m)),
         ("pallas", lambda s, t, m, sm: nn_search_pallas(
             s, t, m, interpret=interp, impl="vpu")),
+        ("pallas_t", lambda s, t, m, sm: nn_search_pallas(
+            s, t, m, src_block=2048, tgt_block=1024,
+            interpret=interp, impl="vpu_t")),
         ("pallas_mxu", lambda s, t, m, sm: nn_search_pallas(
             s, t, m, interpret=interp, impl="mxu")),
         ("pruned", lambda s, t, m, sm: nn_search_pruned(
@@ -105,6 +108,7 @@ def main():
         "S": S, "T": T, "reps": REPS, "batch": BATCH,
         "xla_ms": round(results["xla"], 4),
         "pallas_ms": round(results["pallas"], 4),
+        "pallas_t_ms": round(results["pallas_t"], 4),
         "pallas_mxu_ms": round(results["pallas_mxu"], 4),
         "pruned_ms": round(results["pruned"], 4),
         "roofline_xla_ms": round(roofline_xla, 4),
@@ -112,6 +116,8 @@ def main():
         "xla_pct_of_light": round(100 * roofline_xla / results["xla"], 1),
         "pallas_pct_of_light": round(
             100 * roofline_pallas / results["pallas"], 1),
+        "pallas_t_pct_of_light": round(
+            100 * roofline_pallas / results["pallas_t"], 1),
         "pruned_speedup_vs_pallas": round(
             results["pallas"] / results["pruned"], 2),
     }))

@@ -50,7 +50,11 @@ class IcpConfig:
     raw_capacity: int = 65536       # padded size of a loaded scan
     capacity: int = 16384           # padded size after crop+voxel downsample
     max_iterations: int = 30
-    batch_size: int = 8             # scan pairs per ICP dispatch
+    # scan pairs per ICP dispatch group.  A vmapped group iterates until
+    # EVERY member's early exit fires, so smaller groups waste fewer
+    # iterations on already-converged pairs: measured 490 (4) vs 473 (1)
+    # vs 315 (8) frames/s on the bench workload (TPU v5e).
+    batch_size: int = 4
 
     @classmethod
     def from_yaml(cls, path: str, **overrides) -> "IcpConfig":
