@@ -132,6 +132,117 @@ def _nn_kernel_vpu_t(srcT_ref, tgt_ref, out_d2_ref, out_idx_ref,
         out_idx_ref[:] = best_idx[:]
 
 
+def _nn_kernel_vpu_tq(srcT_ref, tgt_ref, qnT_ref, out_d2_ref, out_qn_ref,
+                      best_val, best_qn):
+    """'vpu_t' returning winner VALUES (target point + normal) not indices.
+
+    ICP consumes the winner's coordinates and normal, not its index
+    (registration/icp.py step()); returning values directly fuses the two
+    downstream row-gathers into the sweep.  Selection rides the otherwise
+    idle MXU: an exact one-hot (BT, BS) f32 matmul against the (8, BT)
+    value table — one-hot products are exact at any precision, and the
+    contraction has a single nonzero term per output, so the result is the
+    winner row bit-exactly.  Layouts stay transposed throughout: scratch
+    best_qn is (8, BS) so the (1, BS) `better` row broadcasts across
+    sublanes with no relayout.
+    """
+    j = pl.program_id(1)
+    dx = tgt_ref[:, 0:1] - srcT_ref[0:1, :]          # (BT, BS)
+    dy = tgt_ref[:, 1:2] - srcT_ref[1:2, :]
+    dz = tgt_ref[:, 2:3] - srcT_ref[2:3, :]
+    score = dx * dx + dy * dy + dz * dz
+
+    @pl.when(j == 0)
+    def _():
+        best_val[:] = jnp.full_like(best_val, jnp.inf)
+        best_qn[:] = jnp.zeros_like(best_qn)
+
+    tile_min = jnp.min(score, axis=0, keepdims=True)             # (1, BS)
+    tile_arg = jnp.argmin(score, axis=0).astype(jnp.int32)[None, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)   # (BT, BS)
+    onehot = (rows == tile_arg).astype(jnp.float32)              # (BT, BS)
+    # (8, BT) @ (BT, BS) -> (8, BS): the tile winner's [q, n] per source
+    sel = jax.lax.dot_general(
+        qnT_ref[:], onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    better = tile_min < best_val[:]                              # (1, BS)
+    best_val[:] = jnp.where(better, tile_min, best_val[:])
+    best_qn[:] = jnp.where(better, sel, best_qn[:])
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_d2_ref[:] = best_val[:]
+        out_qn_ref[:] = best_qn[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("src_block", "tgt_block", "interpret"))
+def nn_search_pallas_vals(src: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
+                          tgt_normals: jax.Array,
+                          src_block: int = 2048, tgt_block: int = 1024,
+                          interpret: bool = False):
+    """Gather-free NN sweep: returns (d2, q, n) winner values per source.
+
+    Same exact semantics as ``nn_search_pallas(impl='vpu_t')`` followed by
+    ``tgt[idx]`` / ``tgt_normals[idx]``, with the gathers fused into the
+    kernel (see _nn_kernel_vpu_tq).  Masked targets sit at the far sentinel
+    so their d2 exceeds any correspondence gate; their (real) coordinates
+    can only surface with such a d2, which downstream weighting zeroes.
+    """
+    S = src.shape[0]
+    T = tgt.shape[0]
+    pad_s = (-S) % src_block
+    pad_t = (-T) % tgt_block
+    src_p = jnp.pad(src, ((0, pad_s), (0, 0)))
+    tgt_p = jnp.pad(tgt, ((0, pad_t), (0, 0)))
+    mask_p = jnp.pad(tgt_mask, (0, pad_t))
+    nrm_p = jnp.pad(tgt_normals, ((0, pad_t), (0, 0)))
+
+    Sp = src_p.shape[0]
+    Tp = tgt_p.shape[0]
+    grid = (Sp // src_block, Tp // tgt_block)
+    mem = pl.ANY if interpret else pltpu.VMEM
+
+    srcT = jnp.pad(src_p.T, ((0, 5), (0, 0)))                    # (8, Sp)
+    tgt_sent = jnp.where(mask_p[:, None], tgt_p, _SENT)          # (Tp, 3)
+    qnT = jnp.concatenate(
+        [tgt_p.T, nrm_p.T, jnp.zeros((2, Tp), jnp.float32)], axis=0)  # (8, Tp)
+
+    d2, qn = pl.pallas_call(
+        _nn_kernel_vpu_tq,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, src_block), lambda i, j: (0, i),
+                         memory_space=mem),
+            pl.BlockSpec((tgt_block, 3), lambda i, j: (j, 0),
+                         memory_space=mem),
+            pl.BlockSpec((8, tgt_block), lambda i, j: (0, j),
+                         memory_space=mem),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, src_block), lambda i, j: (0, i),
+                         memory_space=mem),
+            pl.BlockSpec((8, src_block), lambda i, j: (0, i),
+                         memory_space=mem),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Sp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, src_block), jnp.float32),
+            pltpu.VMEM((8, src_block), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ) if not interpret else None,
+        interpret=interpret,
+    )(srcT, tgt_sent, qnT)
+    return d2[0, :S], qn[:3, :S].T, qn[3:6, :S].T
+
+
 def _nn_kernel_mxu(src_ref, tgt_ref, t2_ref, out_d2_ref, out_idx_ref,
                    best_val, best_idx):
     j = pl.program_id(1)

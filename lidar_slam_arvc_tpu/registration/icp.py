@@ -54,9 +54,11 @@ class ICPParams(NamedTuple):
     # correspondence kernel: 'auto' uses the fused Pallas sweep on TPU at
     # its tuned formulation/tile shape (currently 'vpu_t' — transposed
     # sublane reductions, 1.5x over 'vpu') and the tiled XLA path
-    # elsewhere.  Explicit formulation names ('vpu'|'vpu2'|'vpu_t'|'mxu')
-    # force that Pallas variant; 'pallas' is an alias for the tuned
-    # default.  'pruned' adds Morton-sorted blocks visited nearest-first
+    # elsewhere.  Explicit formulation names
+    # ('vpu'|'vpu2'|'vpu_t'|'vpu_tq'|'mxu') force that Pallas variant;
+    # 'pallas' is an alias for the tuned default; 'vpu_tq' fuses the
+    # correspondence gathers into the sweep (measured slower — see the
+    # dispatch below).  'pruned' adds Morton-sorted blocks visited nearest-first
     # with bbox-bound skipping (ops/nn_pruned.py): exact within the
     # correspondence gate; TPU only.
     nn_impl: str = "auto"
@@ -160,13 +162,32 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
                 p, src_mask, tpts, tmask,
                 gate=params.max_correspondence_distance,
                 src_block=sb, tgt_block=tb, interpret=interp)
-    elif (params.nn_impl in ("pallas", "vpu", "vpu2", "vpu_t", "mxu")
+    elif (params.nn_impl in ("pallas", "vpu", "vpu2", "vpu_t", "vpu_tq",
+                             "mxu")
           or (params.nn_impl == "auto" and jax.default_backend() == "tpu")):
-        from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas
+        from lidar_slam_arvc_tpu.ops.nn_pallas import (
+            nn_search_pallas, nn_search_pallas_vals,
+        )
         # off-TPU the kernel only exists in (slow) interpret mode; keeps
         # explicitly forced formulations selectable for CPU tests/debugging
         interp = jax.default_backend() != "tpu"
-        if params.nn_impl in ("auto", "pallas", "vpu_t"):
+        if params.nn_impl == "vpu_tq":
+            # gather-free variant: the sweep returns the winner's target
+            # point and normal directly (one-hot MXU selection inside the
+            # kernel, ops/nn_pallas.py _nn_kernel_vpu_tq), so the per-
+            # iteration tgt[idx]/normals[idx] row-gathers disappear.
+            # Measured SLOWER end-to-end than 'vpu_t' + gathers on the
+            # bench workload (431 vs 482 frames/s, TPU v5e): the per-tile
+            # one-hot mask + selection exceeds the ~0.05 ms/iter the two
+            # row-gathers cost (benchmarks/icp_step_breakdown.py).  Kept
+            # selectable for future hardware where gathers are pricier.
+            sb = min(2048, -(-src_points.shape[0] // 128) * 128)
+            tb = min(1024, -(-tgt_pts.shape[0] // 8) * 8)
+            nn_vals = functools.partial(nn_search_pallas_vals,
+                                        src_block=sb, tgt_block=tb,
+                                        interpret=interp)
+            nn = None
+        elif params.nn_impl in ("auto", "pallas", "vpu_t"):
             # transposed sublane-reduction formulation at its tuned tile
             # shape — 0.29 ms vs 0.45 ms per 8192^2 sweep for 'vpu'
             # (benchmarks/nn_impl_sweep.py, TPU v5e); sources ride the lane
@@ -192,10 +213,17 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
     src_pts = src_points
     src_mask_f = src_mask.astype(src_pts.dtype)
 
+    def correspond(p):
+        """(d2, q, n_corr) for each transformed source point."""
+        if nn is None:
+            return nn_vals(p, tgt_pts, tgt_mask, tgt_normals)
+        idx, d2 = nn(p, tgt_pts, tgt_mask)
+        return d2, tgt_pts[idx], tgt_normals[idx]
+
     def make_step(pts, mask_f):
         def step(T):
             p = geom.transform_points(T, pts)
-            idx, d2 = nn(p, tgt_pts, tgt_mask)
+            d2, q, n_corr = correspond(p)
             w = mask_f * (d2 <= thr2).astype(pts.dtype)
             if params.robust:
                 # Welsch IRLS: scale from the gated mean-square distance,
@@ -204,9 +232,7 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
                 w1 = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
                 sigma2 = jnp.sum(w1 * d2) / jnp.maximum(jnp.sum(w1), 1e-6)
                 w = w * jnp.exp(-d2 / jnp.maximum(2.0 * sigma2, 1e-8))
-            q = tgt_pts[idx]
             if method == "point_to_plane":
-                n_corr = tgt_normals[idx]
                 H, b, _ = _gn_step_point_to_plane(p, n_corr, q, w)
             else:
                 H, b, _ = _gn_step_point_to_point(p, q, w)
@@ -248,7 +274,7 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
 
     # final metrics at the converged transform
     p = geom.transform_points(T, src_pts)
-    idx, d2 = nn(p, tgt_pts, tgt_mask)
+    d2, _, _ = correspond(p)
     inlier = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
     n_src = jnp.maximum(jnp.sum(src_mask_f), 1.0)
     n_in = jnp.sum(inlier)

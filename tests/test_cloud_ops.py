@@ -219,6 +219,27 @@ class TestPallasNN:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
 
+    def test_vals_variant_matches_gather(self, rng):
+        """vpu_tq returns the winner's (q, n) values == gathering by index."""
+        from lidar_slam_arvc_tpu.ops.nn_pallas import (
+            nn_search_pallas, nn_search_pallas_vals,
+        )
+        src = rng.normal(size=(300, 3)).astype(np.float32) * 10
+        tgt = rng.normal(size=(500, 3)).astype(np.float32) * 10
+        nrm = rng.normal(size=(500, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        mask = np.ones(500, dtype=bool)
+        mask[100:150] = False
+        i1, d1 = nn_search_pallas(jnp.asarray(src), jnp.asarray(tgt),
+                                  jnp.asarray(mask), src_block=128,
+                                  tgt_block=128, interpret=True, impl="vpu_t")
+        d2, q, n = nn_search_pallas_vals(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+            jnp.asarray(nrm), src_block=128, tgt_block=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(q), tgt[np.asarray(i1)])
+        np.testing.assert_array_equal(np.asarray(n), nrm[np.asarray(i1)])
+
     @pytest.mark.parametrize("impl", ["vpu", "vpu2", "vpu_t", "mxu"])
     def test_non_multiple_shapes(self, rng, impl):
         from lidar_slam_arvc_tpu.ops.nn_pallas import nn_search_pallas

@@ -139,7 +139,7 @@ class TestBatched:
 class TestNNImplDispatch:
     """Forced Pallas formulations must work off-TPU via interpret mode."""
 
-    @pytest.mark.parametrize("impl", ["vpu", "vpu2", "vpu_t", "mxu"])
+    @pytest.mark.parametrize("impl", ["vpu", "vpu2", "vpu_t", "vpu_tq", "mxu"])
     def test_forced_impl_runs_on_cpu(self, impl):
         rng = np.random.default_rng(1)
         tgt_pts = rng.uniform(-3, 3, (160, 3)).astype(np.float32)
