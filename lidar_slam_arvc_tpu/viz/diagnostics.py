@@ -30,6 +30,9 @@ def check_timestamps(directory: str) -> dict:
         "lidar": "/robot0/lidar/data.csv",
         "odom": "/robot0/odom/data.csv",
         "gps0": "/robot0/gps0/data.csv",
+        # IMU audited when present, skipped gracefully otherwise
+        # (reference viewers/check_timestamps.py:59-72)
+        "imu0": "/robot0/imu0/data.csv",
     }
     report = {}
     plt = _agg()
