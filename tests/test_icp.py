@@ -153,3 +153,18 @@ class TestNNImplDispatch:
                   "point_to_point")
         dpos, drot = pose_err(res.transform, T_gt)
         assert dpos < 0.05 and drot < 0.02
+
+    def test_vpu_tq_point_to_plane(self):
+        """The value-returning sweep must feed p2plane GN with real normals."""
+        rng = np.random.default_rng(2)
+        tgt_pts = rng.uniform(-3, 3, (200, 3)).astype(np.float32)
+        T_gt = synthetic._yaw_T(0.15, 0.08, 0.04)
+        src_pts = (tgt_pts - T_gt[:3, 3]) @ T_gt[:3, :3]
+        ct = cl.estimate_normals(cl.from_numpy(tgt_pts, 256), radius=1.5)
+        cs = cl.from_numpy(src_pts.astype(np.float32), 256)
+        params = ICPParams(max_correspondence_distance=2.0, max_iterations=6,
+                           src_block=64, tgt_block=64, nn_impl="vpu_tq")
+        res = icp(cs, ct, jnp.eye(4, dtype=jnp.float32), params,
+                  "point_to_plane")
+        dpos, drot = pose_err(res.transform, T_gt)
+        assert dpos < 0.05 and drot < 0.02
