@@ -76,7 +76,8 @@ class KeyframeStore:
     def _icp_params(self) -> ICPParams:
         return ICPParams(
             max_correspondence_distance=self.cfg.distance_threshold,
-            max_iterations=self.cfg.max_iterations)
+            max_iterations=self.cfg.max_iterations,
+            source_stride=self.cfg.source_stride)
 
     def compute_transformation(self, i: int, j: int, Tij: np.ndarray):
         """Single-pair registration T_i_j (keyframemanager.py:52-75 parity).

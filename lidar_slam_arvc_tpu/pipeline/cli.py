@@ -24,6 +24,12 @@ def _add_common(p):
                    help="padded per-scan point capacity")
     p.add_argument("--batch-size", type=int, default=None,
                    help="scan pairs per ICP dispatch")
+    p.add_argument("--source-stride", type=int, default=None,
+                   help="subsample ICP source clouds by this stride "
+                        "(~stride x faster NN sweep; 1 = all points)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persist compiled XLA programs to DIR (re-runs of "
+                        "the same program skip the multi-minute compile)")
     p.add_argument("--mesh", action="store_true",
                    help="convert: export alpha-shape meshes instead of "
                         "point PLYs (reference save_pointcloud_as_mesh)")
@@ -43,12 +49,18 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    if args.compile_cache:
+        from lidar_slam_arvc_tpu.utils.profiling import enable_compilation_cache
+        enable_compilation_cache(args.compile_cache)
+
     from lidar_slam_arvc_tpu.utils.config import IcpConfig
     overrides = {}
     if args.capacity:
         overrides["capacity"] = args.capacity
     if args.batch_size:
         overrides["batch_size"] = args.batch_size
+    if args.source_stride:
+        overrides["source_stride"] = args.source_stride
     cfg = IcpConfig(**overrides)
 
     if args.command in ("scanmatch", "run"):

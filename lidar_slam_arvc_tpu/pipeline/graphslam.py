@@ -116,7 +116,8 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
             radius_threshold=radius_threshold,
             icp_params=ICPParams(
                 max_correspondence_distance=cfg.distance_threshold,
-                max_iterations=cfg.max_iterations),
+                max_iterations=cfg.max_iterations,
+                source_stride=cfg.source_stride),
             method=("point_to_point" if method == "icppointpoint"
                     else "point_to_plane"))
     else:

@@ -170,7 +170,8 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
     B = cfg.batch_size
     params = ICPParams(
         max_correspondence_distance=cfg.distance_threshold,
-        max_iterations=cfg.max_iterations)
+        max_iterations=cfg.max_iterations,
+        source_stride=cfg.source_stride)
     icp_method = ("point_to_point" if method == "icppointpoint"
                   else "point_to_plane")
 

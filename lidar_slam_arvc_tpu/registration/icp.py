@@ -70,6 +70,16 @@ class ICPParams(NamedTuple):
     # bad-seed/large-motion regimes.
     coarse_factor: int = 1
     coarse_iterations: int = 0
+    # Persistent source subsampling: stride the source cloud by this factor
+    # for the ENTIRE solve (unlike coarse-to-fine, no full-resolution refine
+    # phase).  The NN sweep is O(S*T) and dominates per-iteration cost
+    # (benchmarks/icp_step_breakdown.py), so stride f cuts sweep time ~f x.
+    # Point-to-plane stays hugely overdetermined (6 DOF from thousands of
+    # correspondences); the voxel grid already decorrelates neighbors, so a
+    # uniform stride is an unbiased spatial subsample.  Final
+    # fitness/inlier_rmse are reported over the strided set.  1 = reference
+    # parity (all points, keyframe.py:250-252).
+    source_stride: int = 1
 
 
 class ICPResult(NamedTuple):
@@ -128,6 +138,11 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
 
     tgt_pts, tgt_mask = tgt.points, tgt.mask
     src_points, src_mask = src.points, src.mask
+    if params.source_stride > 1:
+        # applied before the NN-impl dispatch so every kernel's tile sizing
+        # (and the pruned path's Morton sort) sees the reduced source set
+        src_points = src_points[::params.source_stride]
+        src_mask = src_mask[::params.source_stride]
     tgt_normals = tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.points)
 
     if params.nn_impl == "pruned":

@@ -55,6 +55,11 @@ class IcpConfig:
     # iterations on already-converged pairs: measured 490 (4) vs 473 (1)
     # vs 315 (8) frames/s on the bench workload (TPU v5e).
     batch_size: int = 4
+    # persistent source subsampling inside ICP (registration/icp.py
+    # ICPParams.source_stride): stride f cuts the dominant O(S*T) NN-sweep
+    # cost ~f x while the point-to-plane solve stays overdetermined.
+    # 1 = reference parity (all source points).
+    source_stride: int = 1
 
     @classmethod
     def from_yaml(cls, path: str, **overrides) -> "IcpConfig":

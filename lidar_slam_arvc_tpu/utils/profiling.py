@@ -60,6 +60,24 @@ class StageTimer:
         return " | ".join(parts)
 
 
+def enable_compilation_cache(path: str) -> None:
+    """Persist compiled XLA executables to ``path`` across processes.
+
+    Through remote-execution tunnels a distinct jitted program costs minutes
+    to compile; the on-disk cache makes re-runs of the same program (same
+    shapes/params) near-instant.  No reference counterpart (the reference
+    has no compiled programs).  Harmless no-op if the backend refuses to
+    serialize executables — JAX falls back to compiling.
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every program regardless of size/compile time: the per-program
+    # dispatch overhead we are avoiding is the tunnel round-trip, not the
+    # local compile
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a device trace (view with TensorBoard's profile plugin)."""

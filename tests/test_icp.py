@@ -60,6 +60,23 @@ class TestPointToPlane:
         assert drot < 0.01, f"rotation error {drot}"
         assert float(res.fitness) > 0.8
 
+    @pytest.mark.parametrize("stride", [2, 4])
+    def test_source_stride_recovers_transform(self, scene, stride):
+        # persistent source subsampling must not cost meaningful accuracy:
+        # the solve stays overdetermined (thousands of correspondences for
+        # 6 DOF) and the voxel grid decorrelates neighbors
+        scan_i, scan_j, T_ij_gt = scene
+        ci = prep(scan_i)
+        cj = prep(scan_j)
+        T0 = T_ij_gt @ synthetic._yaw_T(0.1, -0.08, 0.03)
+        params = PARAMS._replace(source_stride=stride)
+        res = icp(cj, ci, jnp.asarray(T0, dtype=jnp.float32), params,
+                  "point_to_plane")
+        dpos, drot = pose_err(res.transform, T_ij_gt)
+        assert dpos < 0.06, f"stride {stride}: position error {dpos}"
+        assert drot < 0.012, f"stride {stride}: rotation error {drot}"
+        assert float(res.fitness) > 0.8
+
     def test_identity_when_same_cloud(self, scene):
         scan_i, _, _ = scene
         c = prep(scan_i)

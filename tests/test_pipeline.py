@@ -151,6 +151,14 @@ class TestOtherMethods:
         err = ate(out["global"], info["T_gt"][: len(out["global"])])["rmse"]
         assert err < 0.5, err
 
+    def test_source_stride_end_to_end(self, small_dataset):
+        # IcpConfig.source_stride plumbs through to ICP: stride-2 subsampled
+        # sources must match full-resolution stage-1 accuracy on this world
+        d, info = small_dataset
+        out = self._run_with_method(d, "icppointplane", source_stride=2)
+        err = ate(out["global"], info["T_gt"][: len(out["global"])])["rmse"]
+        assert err < 0.5, err
+
     def test_two_planes(self, small_dataset):
         d, info = small_dataset
         out = self._run_with_method(d, "icp2planes")
