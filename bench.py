@@ -44,6 +44,9 @@ NN_IMPL = os.environ.get("BENCH_NN", "auto")  # auto | pallas | pruned | xla
 # for 471/667/826 frames/s at stride 1/2/4 on TPU v5e.  Default 2;
 # 1 = all sources (reference parity).
 STRIDE = int(os.environ.get("BENCH_STRIDE", 2))
+# se(3)-update-norm early-exit tolerance (registration/icp.py
+# ICPParams.convergence_tol); exposed for tolerance/iteration sweeps
+TOL = float(os.environ.get("BENCH_TOL", 1e-5))
 
 
 def build_workload():
@@ -75,7 +78,7 @@ def run_device(scans, seeds):
     cap = CAP
     params = ICPParams(max_correspondence_distance=10.0,
                        max_iterations=ICP_ITERS, nn_impl=NN_IMPL,
-                       source_stride=STRIDE)
+                       source_stride=STRIDE, convergence_tol=TOL)
 
     # One jitted program for the whole batched preprocess (every extra
     # program costs minutes of compile through remote-execution tunnels).

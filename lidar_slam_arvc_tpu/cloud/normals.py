@@ -6,23 +6,48 @@ Replaces Open3D's C++ ``estimate_normals`` with
 the covariance of neighbors within ``radius``.
 
 TPU formulation: neighbor moments (count, sum, sum of outer products) come
-from three masked matmuls (ops.radius_accumulate) — no neighbor lists — and
-the eigenvector from a closed-form symmetric 3x3 solve on the VPU.  The
-reference's ``max_nn`` cap (300) is not applied: at the radii used
-(0.3-0.5 m on voxelized scans) neighborhoods are far below the cap, where
-the cap exists only to bound KD-tree query cost.
+from a fused Pallas sweep (ops.ball_moments_pallas — the (Q,T) weight
+matrix never touches HBM) on TPU, or three masked matmuls
+(ops.radius_accumulate) elsewhere; the eigenvector comes from a
+closed-form symmetric 3x3 solve on the VPU.  The reference's ``max_nn``
+cap (300) is not applied: at the radii used (0.3-0.5 m on voxelized
+scans) neighborhoods are far below the cap, where the cap exists only to
+bound KD-tree query cost.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from lidar_slam_arvc_tpu.cloud.cloud import Cloud
-from lidar_slam_arvc_tpu.ops import radius_accumulate, smallest_eigenvector_sym3
+from lidar_slam_arvc_tpu.ops import (
+    ball_moments_pallas, radius_accumulate, smallest_eigenvector_sym3)
+
+
+def _cov_from_centered(count, s1, s2):
+    """Covariance from query-centered moments (ball_moments_pallas)."""
+    n = jnp.maximum(count, 1.0)
+    m = s1 / n[:, None]                      # mean offset from the query
+    xx, xy, xz, yy, yz, zz = (s2[:, 0], s2[:, 1], s2[:, 2],
+                              s2[:, 3], s2[:, 4], s2[:, 5])
+    mx, my, mz = m[:, 0], m[:, 1], m[:, 2]
+    c00 = xx / n - mx * mx
+    c01 = xy / n - mx * my
+    c02 = xz / n - mx * mz
+    c11 = yy / n - my * my
+    c12 = yz / n - my * mz
+    c22 = zz / n - mz * mz
+    return jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c01, c11, c12], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
 
 
 def estimate_normals(cloud: Cloud, radius: float,
-                     orient_to_viewpoint: bool = True) -> Cloud:
+                     orient_to_viewpoint: bool = True,
+                     impl: str = "auto") -> Cloud:
     """Returns the cloud with unit ``normals`` filled for valid points.
 
     Points with fewer than 3 ball neighbors (including self) get +z, like
@@ -30,26 +55,41 @@ def estimate_normals(cloud: Cloud, radius: float,
     normal signs are flipped to face the sensor origin — the PCL viewpoint
     convention.  Sign is irrelevant for point-to-plane ICP but essential for
     FPFH descriptors, whose Darboux angles are sign-sensitive.
+
+    ``impl``: 'auto' (Pallas sweep on TPU, XLA matmuls elsewhere),
+    'pallas', 'pallas_interpret' (CPU-debuggable kernel), or 'xla'.
     """
-    count, s1, s2 = radius_accumulate(
-        cloud.points, cloud.points, cloud.mask, radius)
-    n = jnp.maximum(count, 1.0)
-    mean = s1 / n[:, None]
-    # covariance from upper-triangular second moments (xx,xy,xz,yy,yz,zz)
-    xx, xy, xz, yy, yz, zz = (s2[:, 0], s2[:, 1], s2[:, 2],
-                              s2[:, 3], s2[:, 4], s2[:, 5])
-    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
-    c00 = xx / n - mx * mx
-    c01 = xy / n - mx * my
-    c02 = xz / n - mx * mz
-    c11 = yy / n - my * my
-    c12 = yz / n - my * mz
-    c22 = zz / n - mz * mz
-    cov = jnp.stack([
-        jnp.stack([c00, c01, c02], axis=-1),
-        jnp.stack([c01, c11, c12], axis=-1),
-        jnp.stack([c02, c12, c22], axis=-1),
-    ], axis=-2)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if impl in ("pallas", "pallas_interpret"):
+        count, s1, s2 = ball_moments_pallas(
+            cloud.points, cloud.points, cloud.mask, float(radius),
+            interpret=(impl == "pallas_interpret"))
+        cov = _cov_from_centered(count, s1, s2)
+    elif impl == "xla":
+        count, s1, s2 = radius_accumulate(
+            cloud.points, cloud.points, cloud.mask, radius)
+        # raw moments: centered against the neighborhood mean directly
+        n = jnp.maximum(count, 1.0)
+        mean = s1 / n[:, None]
+        xx, xy, xz, yy, yz, zz = (s2[:, 0], s2[:, 1], s2[:, 2],
+                                  s2[:, 3], s2[:, 4], s2[:, 5])
+        mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+        c00 = xx / n - mx * mx
+        c01 = xy / n - mx * my
+        c02 = xz / n - mx * mz
+        c11 = yy / n - my * my
+        c12 = yz / n - my * mz
+        c22 = zz / n - mz * mz
+        cov = jnp.stack([
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c01, c11, c12], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ], axis=-2)
+    else:
+        raise ValueError(
+            f"unknown impl {impl!r} (auto|pallas|pallas_interpret|xla)")
 
     normals = smallest_eigenvector_sym3(cov)
     if orient_to_viewpoint:

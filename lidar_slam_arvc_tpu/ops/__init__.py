@@ -8,8 +8,9 @@ a Pallas TPU kernel selected at call time.
 
 from lidar_slam_arvc_tpu.ops.eigh3 import smallest_eigenvector_sym3, eigvals_sym3
 from lidar_slam_arvc_tpu.ops.nn import nn_search, nn2_search, radius_accumulate
+from lidar_slam_arvc_tpu.ops.moments_pallas import ball_moments_pallas
 
 __all__ = [
     "smallest_eigenvector_sym3", "eigvals_sym3", "nn_search",
-    "nn2_search", "radius_accumulate",
+    "nn2_search", "radius_accumulate", "ball_moments_pallas",
 ]

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 
 from lidar_slam_arvc_tpu import cloud as cl
 from lidar_slam_arvc_tpu.ops import (
-    eigvals_sym3, nn_search, radius_accumulate, smallest_eigenvector_sym3,
+    ball_moments_pallas, eigvals_sym3, nn_search, radius_accumulate,
+    smallest_eigenvector_sym3,
 )
 
 
@@ -89,6 +90,58 @@ class TestRadiusAccumulate:
         np.testing.assert_allclose(np.asarray(count), w.sum(1), atol=0.5)
         s1_ref = w @ pts
         np.testing.assert_allclose(np.asarray(s1), s1_ref, atol=1e-3)
+
+
+class TestBallMomentsPallas:
+    """Pallas fused ball-moment kernel (interpret mode) vs brute force."""
+
+    def _oracle(self, q, tgt, mask, r):
+        d2 = ((q[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+        w = (d2 <= r * r) & mask[None, :]
+        delta = tgt[None, :, :] - q[:, None, :]          # (Q, T, 3)
+        s1 = (w[:, :, None] * delta).sum(1)
+        outer = delta[:, :, :, None] * delta[:, :, None, :]
+        s2full = (w[:, :, None, None] * outer).sum(1)
+        iu = ([0, 0, 0, 1, 1, 2], [0, 1, 2, 1, 2, 2])
+        s2 = s2full[:, iu[0], iu[1]]
+        return w.sum(1).astype(np.float32), s1, s2
+
+    def test_matches_bruteforce_with_mask(self, rng):
+        q = rng.normal(size=(70, 3)).astype(np.float32)
+        tgt = rng.normal(size=(90, 3)).astype(np.float32)
+        mask = rng.uniform(size=90) > 0.3
+        r = 0.9
+        count, s1, s2 = ball_moments_pallas(
+            jnp.asarray(q), jnp.asarray(tgt), jnp.asarray(mask), r,
+            query_block=32, tgt_block=16, interpret=True)
+        c_ref, s1_ref, s2_ref = self._oracle(q, tgt, mask, r)
+        np.testing.assert_allclose(np.asarray(count), c_ref, atol=0.5)
+        np.testing.assert_allclose(np.asarray(s1), s1_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s2), s2_ref, atol=1e-4)
+
+    def test_normals_pallas_path_matches_xla(self, rng):
+        pts = rng.uniform(-3, 3, size=(300, 3)).astype(np.float32)
+        pts[:, 2] = 0.3 * np.sin(pts[:, 0])  # smooth sheet
+        c = cl.from_numpy(pts, capacity=512)
+        n_xla = cl.estimate_normals(c, radius=0.8, impl="xla")
+        n_pl = cl.estimate_normals(c, radius=0.8, impl="pallas_interpret")
+        m = np.asarray(c.mask)
+        a = np.asarray(n_xla.normals)[m]
+        b = np.asarray(n_pl.normals)[m]
+        dots = np.abs(np.sum(a * b, axis=1))
+        assert np.min(dots) > 0.999
+
+    def test_vmap_batches(self, rng):
+        # preprocess_batch vmaps estimate_normals over scans
+        q = rng.normal(size=(2, 40, 3)).astype(np.float32)
+        mask = np.ones((2, 40), dtype=bool)
+        f = jax.vmap(lambda p, m: ball_moments_pallas(
+            p, p, m, 0.8, query_block=16, tgt_block=8, interpret=True))
+        count, s1, s2 = f(jnp.asarray(q), jnp.asarray(mask))
+        for b in range(2):
+            c_ref, s1_ref, s2_ref = self._oracle(q[b], q[b], mask[b], 0.8)
+            np.testing.assert_allclose(np.asarray(count[b]), c_ref, atol=0.5)
+            np.testing.assert_allclose(np.asarray(s1[b]), s1_ref, atol=1e-4)
 
 
 class TestCloud:
