@@ -123,16 +123,22 @@ def run_device(scans, seeds):
         [seeds, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))]))
 
     def run_all():
-        T, fit = _match_all_fused(pts, mask, normals, idx_src, idx_tgt,
-                                  seeds_j, params, "point_to_plane", BATCH)
-        return np.asarray(T)  # host transfer = hard completion barrier
+        T, fit, iters = _match_all_fused(pts, mask, normals, idx_src,
+                                         idx_tgt, seeds_j, params,
+                                         "point_to_plane", BATCH)
+        return np.asarray(T), iters  # host transfer = completion barrier
 
     run_all()               # warmup/compile
     t_icp = float("inf")
     for _ in range(REPS):
         t0 = time.time()
-        T_out = run_all()
+        T_out, iters = run_all()
         t_icp = min(t_icp, time.time() - t0)
+    iters = np.asarray(iters)[:n_pairs]
+    sys.stderr.write(f"icp iterations/pair: mean {iters.mean():.1f}, "
+                     f"max {int(iters.max())} "
+                     f"(group size {BATCH}: a group iterates until its "
+                     f"slowest member converges)\n")
     fps = n_pairs / t_icp
     return fps, t_icp, (t_pre, t_pre_run), T_out[:n_pairs]
 

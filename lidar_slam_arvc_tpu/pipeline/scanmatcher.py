@@ -144,10 +144,10 @@ def _match_all_fused(points, mask, normals, idx_src, idx_tgt, seeds,
         si, ti, sd = args
         res = icp_batch(points[si], mask[si], points[ti], mask[ti],
                         normals[ti], sd, params, method)
-        return res.transform, res.fitness
+        return res.transform, res.fitness, res.iterations
 
-    T, fit = jax.lax.map(per_group, (gs, gt, gseeds))
-    return T.reshape(-1, 4, 4), fit.reshape(-1)
+    T, fit, iters = jax.lax.map(per_group, (gs, gt, gseeds))
+    return T.reshape(-1, 4, 4), fit.reshape(-1), iters.reshape(-1)
 
 
 def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
@@ -190,7 +190,7 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
     # and even locally one program gives XLA the full pipeline to overlap.
     if (checkpoint_path is None
             and method in ("icppointplane", "icppointpoint")):
-        T_all, fit = _match_all_fused(
+        T_all, fit, _ = _match_all_fused(
             points, mask, normals, jnp.asarray(idx_src), jnp.asarray(idx_tgt),
             jnp.asarray(seeds), params, icp_method, B)
         T_all = np.asarray(T_all, dtype=np.float64)[:n_pairs]

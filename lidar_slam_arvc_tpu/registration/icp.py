@@ -75,6 +75,13 @@ class ICPParams(NamedTuple):
     # bad-seed/large-motion regimes.
     coarse_factor: int = 1
     coarse_iterations: int = 0
+    # Final fitness/inlier_rmse: False (default) reports the metrics of the
+    # LAST iteration's correspondence set (one se(3) update behind the
+    # returned transform — indistinguishable below convergence_tol), saving
+    # one full NN sweep per solve; at the bench's 2-3 iterations/pair that
+    # extra sweep was ~25% of the solve.  True recomputes at the final
+    # transform (Open3D evaluate_registration semantics).
+    exact_metrics: bool = False
     # Persistent source subsampling: stride the source cloud by this factor
     # for the ENTIRE solve (unlike coarse-to-fine, no full-resolution refine
     # phase).  The NN sweep is O(S*T) and dominates per-iteration cost
@@ -245,7 +252,15 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
         def step(T):
             p = geom.transform_points(T, pts)
             d2, q, n_corr = correspond(p)
-            w = mask_f * (d2 <= thr2).astype(pts.dtype)
+            gate = mask_f * (d2 <= thr2).astype(pts.dtype)
+            # metrics of THIS correspondence set (gate-only, matching the
+            # final-metrics definition); carried out by the caller so the
+            # converged solve needs no extra sweep
+            n_src = jnp.maximum(jnp.sum(mask_f), 1.0)
+            n_in = jnp.sum(gate)
+            fit = n_in / n_src
+            rmse = jnp.sqrt(jnp.sum(d2 * gate) / jnp.maximum(n_in, 1.0))
+            w = gate
             if params.robust:
                 # Welsch IRLS: scale from the gated mean-square distance,
                 # sharpened once by reweighting (two cheap passes, no new NN).
@@ -263,26 +278,35 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
             xi = jnp.linalg.solve(H + damp * jnp.eye(6, dtype=H.dtype), b)
             # guard: non-finite solve keeps T unchanged
             xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
-            return geom.compose(geom.se3_exp(xi), T), jnp.linalg.norm(xi)
+            return (geom.compose(geom.se3_exp(xi), T), jnp.linalg.norm(xi),
+                    fit, rmse)
         return step
 
     def run_phase(T0, step, max_iters, tol):
+        init_metrics = (jnp.float32(0.0), jnp.float32(jnp.inf))
         if params.convergence_tol > 0:
             def cond(state):
-                _, it, delta = state
+                _, it, delta, _, _ = state
                 return (it < max_iters) & (delta > tol)
 
             def while_body(state):
-                T, it, _ = state
-                T_new, delta = step(T)
-                return T_new, it + 1, delta
+                T, it, _, _, _ = state
+                T_new, delta, fit, rmse = step(T)
+                return T_new, it + 1, delta, fit, rmse
 
-            T, it, _ = jax.lax.while_loop(
-                cond, while_body, (T0, jnp.int32(0), jnp.float32(jnp.inf)))
-            return T, it
-        T = jax.lax.fori_loop(0, max_iters, lambda _, T: step(T)[0], T0,
-                              unroll=False)
-        return T, jnp.int32(max_iters)
+            T, it, _, fit, rmse = jax.lax.while_loop(
+                cond, while_body,
+                (T0, jnp.int32(0), jnp.float32(jnp.inf), *init_metrics))
+            return T, it, fit, rmse
+
+        def fori_body(_, carry):
+            T, _, _ = carry
+            T_new, _, fit, rmse = step(T)
+            return T_new, fit, rmse
+
+        T, fit, rmse = jax.lax.fori_loop(
+            0, max_iters, fori_body, (T0, *init_metrics), unroll=False)
+        return T, jnp.int32(max_iters), fit, rmse
 
     T = T_init
     iters = jnp.int32(0)
@@ -290,21 +314,23 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
     if params.coarse_factor > 1 and params.coarse_iterations > 0:
         f = params.coarse_factor
         coarse_step = make_step(src_pts[::f], src_mask_f[::f])
-        T, it_c = run_phase(T, coarse_step, params.coarse_iterations,
-                            10.0 * params.convergence_tol)
+        T, it_c, _, _ = run_phase(T, coarse_step, params.coarse_iterations,
+                                  10.0 * params.convergence_tol)
         iters = iters + it_c
-    T, it_f = run_phase(T, make_step(src_pts, src_mask_f), fine_iters,
-                        params.convergence_tol)
+    T, it_f, fitness, rmse = run_phase(
+        T, make_step(src_pts, src_mask_f), fine_iters,
+        params.convergence_tol)
     iters = iters + it_f
 
-    # final metrics at the converged transform
-    p = geom.transform_points(T, src_pts)
-    d2, _, _ = correspond(p)
-    inlier = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
-    n_src = jnp.maximum(jnp.sum(src_mask_f), 1.0)
-    n_in = jnp.sum(inlier)
-    fitness = n_in / n_src
-    rmse = jnp.sqrt(jnp.sum(d2 * inlier) / jnp.maximum(n_in, 1.0))
+    if params.exact_metrics:
+        # recompute at the converged transform (Open3D semantics)
+        p = geom.transform_points(T, src_pts)
+        d2, _, _ = correspond(p)
+        inlier = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
+        n_src = jnp.maximum(jnp.sum(src_mask_f), 1.0)
+        n_in = jnp.sum(inlier)
+        fitness = n_in / n_src
+        rmse = jnp.sqrt(jnp.sum(d2 * inlier) / jnp.maximum(n_in, 1.0))
     return ICPResult(transform=T, fitness=fitness, inlier_rmse=rmse,
                      iterations=iters)
 
