@@ -29,7 +29,6 @@ from lidar_slam_arvc_tpu.cloud.normals import _cov_from_centered
 
 B = int(os.environ.get("NORMALS_B", "8"))        # scans per dispatch
 RADIUS = 0.5
-REPS = 10
 
 # voxelized-density surface: 0.2 m grid over +-9 m, wavy height, off-origin
 # (exercises the large-coordinate cancellation the raw-moment path risks)
@@ -68,20 +67,6 @@ def oracle_normals(p, mask, r):
 
 ref = oracle_normals(np.asarray(c.points), np.asarray(c.mask), RADIUS)
 mask_np = np.asarray(c.mask)
-
-
-def timeit(fn, label):
-    out = np.asarray(fn())           # compile + first result
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        r = fn()
-    np.asarray(r)
-    dt = (time.perf_counter() - t0) / REPS
-    got = out[0][mask_np]
-    dots = np.abs(np.sum(got * ref, axis=1))
-    print(f"{label}: {dt*1e3/B:.3f} ms/scan  "
-          f"min|dot|={dots.min():.4f} frac>0.99={(dots > 0.99).mean():.4f}",
-          flush=True)
 
 
 # K back-to-back normal computations chained inside the program (output

@@ -61,32 +61,24 @@ def estimate_normals(cloud: Cloud, radius: float,
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("pallas", "pallas_interpret"):
+        try:
+            radius = float(radius)  # baked into the kernel (static)
+        except (TypeError, jax.errors.ConcretizationTypeError):
+            # traced radius: only the XLA path supports a dynamic radius
+            impl = "xla"
 
     if impl in ("pallas", "pallas_interpret"):
         count, s1, s2 = ball_moments_pallas(
-            cloud.points, cloud.points, cloud.mask, float(radius),
+            cloud.points, cloud.points, cloud.mask, radius,
             interpret=(impl == "pallas_interpret"), query_mask=cloud.mask)
         cov = _cov_from_centered(count, s1, s2)
     elif impl == "xla":
         count, s1, s2 = radius_accumulate(
             cloud.points, cloud.points, cloud.mask, radius)
-        # raw moments: centered against the neighborhood mean directly
-        n = jnp.maximum(count, 1.0)
-        mean = s1 / n[:, None]
-        xx, xy, xz, yy, yz, zz = (s2[:, 0], s2[:, 1], s2[:, 2],
-                                  s2[:, 3], s2[:, 4], s2[:, 5])
-        mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
-        c00 = xx / n - mx * mx
-        c01 = xy / n - mx * my
-        c02 = xz / n - mx * mz
-        c11 = yy / n - my * my
-        c12 = yz / n - my * mz
-        c22 = zz / n - mz * mz
-        cov = jnp.stack([
-            jnp.stack([c00, c01, c02], axis=-1),
-            jnp.stack([c01, c11, c12], axis=-1),
-            jnp.stack([c02, c12, c22], axis=-1),
-        ], axis=-2)
+        # raw moments share the covariance algebra: cov = S2/n - m m^T,
+        # with the mean taken about the raw origin instead of the query
+        cov = _cov_from_centered(count, s1, s2)
     else:
         raise ValueError(
             f"unknown impl {impl!r} (auto|pallas|pallas_interpret|xla)")

@@ -144,10 +144,11 @@ def _match_all_fused(points, mask, normals, idx_src, idx_tgt, seeds,
         si, ti, sd = args
         res = icp_batch(points[si], mask[si], points[ti], mask[ti],
                         normals[ti], sd, params, method)
-        return res.transform, res.fitness, res.iterations
+        return res.transform, res.fitness, res.iterations, res.final_delta
 
-    T, fit, iters = jax.lax.map(per_group, (gs, gt, gseeds))
-    return T.reshape(-1, 4, 4), fit.reshape(-1), iters.reshape(-1)
+    T, fit, iters, delta = jax.lax.map(per_group, (gs, gt, gseeds))
+    return (T.reshape(-1, 4, 4), fit.reshape(-1), iters.reshape(-1),
+            delta.reshape(-1))
 
 
 def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
@@ -190,12 +191,19 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
     # and even locally one program gives XLA the full pipeline to overlap.
     if (checkpoint_path is None
             and method in ("icppointplane", "icppointpoint")):
-        T_all, fit, _ = _match_all_fused(
+        T_all, fit, _, delta = _match_all_fused(
             points, mask, normals, jnp.asarray(idx_src), jnp.asarray(idx_tgt),
             jnp.asarray(seeds), params, icp_method, B)
         T_all = np.asarray(T_all, dtype=np.float64)[:n_pairs]
         fit = np.asarray(fit)[:n_pairs]
+        delta = np.asarray(delta)[:n_pairs]
+        # fallback gate: low inlier fraction, or still moving by >=100x the
+        # convergence tol when max_iterations ran out (with carried metrics
+        # the fitness predates the last update, so divergence on the final
+        # iteration is caught by final_delta, not fitness)
         bad = fit < cfg.min_fitness
+        if params.convergence_tol > 0:
+            bad |= delta > 100 * params.convergence_tol
         if bad.any():
             T_all[bad] = seeds[:n_pairs][bad].astype(np.float64)
         if progress:
@@ -257,8 +265,12 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
         Tb = np.asarray(res.transform, dtype=np.float64)
         fit = np.asarray(res.fitness)
         # failure detection: diverged/void registrations fall back to the
-        # odometry seed rather than corrupting the trajectory
+        # odometry seed rather than corrupting the trajectory (final_delta
+        # catches divergence on the last iteration, which carried metrics
+        # cannot — see ICPParams.exact_metrics)
         bad = fit < cfg.min_fitness
+        if params.convergence_tol > 0:
+            bad |= np.asarray(res.final_delta) > 100 * params.convergence_tol
         if bad.any():
             Tb[bad] = seeds[sl][bad].astype(np.float64)
         hi = min((b + 1) * B, n_pairs)

@@ -80,7 +80,10 @@ class ICPParams(NamedTuple):
     # returned transform — indistinguishable below convergence_tol), saving
     # one full NN sweep per solve; at the bench's 2-3 iterations/pair that
     # extra sweep was ~25% of the solve.  True recomputes at the final
-    # transform (Open3D evaluate_registration semantics).
+    # transform (Open3D evaluate_registration semantics).  For a
+    # max_iterations exit the carried metrics predate a possibly-large last
+    # update — divergence detection must gate on ICPResult.final_delta, as
+    # the scanmatcher pipeline does.
     exact_metrics: bool = False
     # Persistent source subsampling: stride the source cloud by this factor
     # for the ENTIRE solve (unlike coarse-to-fine, no full-resolution refine
@@ -98,7 +101,15 @@ class ICPResult(NamedTuple):
     transform: jax.Array      # (4,4) refined T mapping src into tgt frame
     fitness: jax.Array        # inlier fraction of valid source points
     inlier_rmse: jax.Array    # RMSE over inlier correspondences
-    iterations: jax.Array = jnp.int32(0)  # while_loop trips (diagnostics)
+    # while_loop trips (diagnostics); plain-int default so importing this
+    # module never touches the JAX backend (a jnp default would initialize
+    # the device plugin at import time)
+    iterations: jax.Array | int = 0
+    # se(3) update norm of the LAST iteration: <= convergence_tol means the
+    # solve exited converged; large values mean it hit max_iterations while
+    # still moving (the pipeline's divergence gate uses this, since with
+    # exact_metrics=False fitness is measured one update behind)
+    final_delta: jax.Array | float = 0.0
 
 
 def _gn_step_point_to_plane(p, n_corr, q, w):
@@ -294,19 +305,20 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
                 T_new, delta, fit, rmse = step(T)
                 return T_new, it + 1, delta, fit, rmse
 
-            T, it, _, fit, rmse = jax.lax.while_loop(
+            T, it, delta, fit, rmse = jax.lax.while_loop(
                 cond, while_body,
                 (T0, jnp.int32(0), jnp.float32(jnp.inf), *init_metrics))
-            return T, it, fit, rmse
+            return T, it, delta, fit, rmse
 
         def fori_body(_, carry):
-            T, _, _ = carry
-            T_new, _, fit, rmse = step(T)
-            return T_new, fit, rmse
+            T, _, _, _ = carry
+            T_new, delta, fit, rmse = step(T)
+            return T_new, delta, fit, rmse
 
-        T, fit, rmse = jax.lax.fori_loop(
-            0, max_iters, fori_body, (T0, *init_metrics), unroll=False)
-        return T, jnp.int32(max_iters), fit, rmse
+        T, delta, fit, rmse = jax.lax.fori_loop(
+            0, max_iters, fori_body,
+            (T0, jnp.float32(0.0), *init_metrics), unroll=False)
+        return T, jnp.int32(max_iters), delta, fit, rmse
 
     T = T_init
     iters = jnp.int32(0)
@@ -314,16 +326,19 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
     if params.coarse_factor > 1 and params.coarse_iterations > 0:
         f = params.coarse_factor
         coarse_step = make_step(src_pts[::f], src_mask_f[::f])
-        T, it_c, _, _ = run_phase(T, coarse_step, params.coarse_iterations,
-                                  10.0 * params.convergence_tol)
+        T, it_c, _, _, _ = run_phase(T, coarse_step,
+                                     params.coarse_iterations,
+                                     10.0 * params.convergence_tol)
         iters = iters + it_c
-    T, it_f, fitness, rmse = run_phase(
+    T, it_f, final_delta, fitness, rmse = run_phase(
         T, make_step(src_pts, src_mask_f), fine_iters,
         params.convergence_tol)
     iters = iters + it_f
 
-    if params.exact_metrics:
-        # recompute at the converged transform (Open3D semantics)
+    if params.exact_metrics or params.max_iterations == 0:
+        # recompute at the final transform (Open3D evaluate_registration
+        # semantics); forced for max_iterations=0, where the loop never ran
+        # and the carried metrics would be the (0, inf) initializers
         p = geom.transform_points(T, src_pts)
         d2, _, _ = correspond(p)
         inlier = src_mask_f * (d2 <= thr2).astype(src_pts.dtype)
@@ -332,7 +347,7 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
         fitness = n_in / n_src
         rmse = jnp.sqrt(jnp.sum(d2 * inlier) / jnp.maximum(n_in, 1.0))
     return ICPResult(transform=T, fitness=fitness, inlier_rmse=rmse,
-                     iterations=iters)
+                     iterations=iters, final_delta=final_delta)
 
 
 def icp_batch(src_points, src_masks, tgt_points, tgt_masks, tgt_normals,
@@ -373,4 +388,6 @@ def icp_two_planes(src_ground: Cloud, tgt_ground: Cloud,
     T = geom.transform_from_euler(fused, abg)
     return ICPResult(transform=T, fitness=res_b.fitness,
                      inlier_rmse=res_b.inlier_rmse,
-                     iterations=res_a.iterations + res_b.iterations)
+                     iterations=res_a.iterations + res_b.iterations,
+                     final_delta=jnp.maximum(res_a.final_delta,
+                                             res_b.final_delta))

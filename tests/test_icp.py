@@ -185,3 +185,19 @@ class TestNNImplDispatch:
                   "point_to_plane")
         dpos, drot = pose_err(res.transform, T_gt)
         assert dpos < 0.05 and drot < 0.02
+
+
+class TestEvaluateOnly:
+    def test_max_iterations_zero_reports_seed_metrics(self, rng):
+        # max_iterations=0 = Open3D evaluate_registration: metrics at T_init
+        import jax.numpy as jnp
+        from lidar_slam_arvc_tpu import cloud as cl
+        from lidar_slam_arvc_tpu.registration import ICPParams, icp
+        pts = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+        pts[:, 2] *= 0.1
+        tgt = cl.estimate_normals(cl.from_numpy(pts, 512), 0.8)
+        src = cl.from_numpy(pts, 512)
+        res = icp(src, tgt, jnp.eye(4), ICPParams(max_iterations=0))
+        assert float(res.fitness) > 0.99     # identity seed = perfect align
+        assert float(res.inlier_rmse) < 1e-3
+        assert int(res.iterations) == 0
