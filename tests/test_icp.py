@@ -201,3 +201,25 @@ class TestEvaluateOnly:
         assert float(res.fitness) > 0.99     # identity seed = perfect align
         assert float(res.inlier_rmse) < 1e-3
         assert int(res.iterations) == 0
+
+
+class TestFinalDelta:
+    def test_converged_vs_unconverged(self, rng):
+        # converged solves report final_delta <= tol; a solve cut off after
+        # one iteration from a far seed is still moving (the pipeline's
+        # divergence gate keys on this, since carried metrics lag one step)
+        import jax.numpy as jnp
+        from lidar_slam_arvc_tpu import cloud as cl
+        from lidar_slam_arvc_tpu.registration import ICPParams, icp
+        pts = rng.uniform(-5, 5, (600, 3)).astype(np.float32)
+        pts[:, 2] *= 0.1
+        tgt = cl.estimate_normals(cl.from_numpy(pts, 1024), 0.8)
+        src = cl.from_numpy(pts, 1024)
+        T0 = np.eye(4, dtype=np.float32)
+        T0[0, 3] = 0.05
+        done = icp(src, tgt, jnp.asarray(T0), ICPParams(max_iterations=20))
+        assert float(done.final_delta) <= 1e-4
+        far = np.eye(4, dtype=np.float32)
+        far[0, 3] = 2.0
+        cut = icp(src, tgt, jnp.asarray(far), ICPParams(max_iterations=1))
+        assert float(cut.final_delta) > 1e-2  # still moving when cut off
