@@ -123,9 +123,9 @@ def run_device(scans, seeds):
         [seeds, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))]))
 
     def run_all():
-        T, fit, iters = _match_all_fused(pts, mask, normals, idx_src,
-                                         idx_tgt, seeds_j, params,
-                                         "point_to_plane", BATCH)
+        T, fit, iters, _ = _match_all_fused(pts, mask, normals, idx_src,
+                                            idx_tgt, seeds_j, params,
+                                            "point_to_plane", BATCH)
         return np.asarray(T), iters  # host transfer = completion barrier
 
     run_all()               # warmup/compile
