@@ -153,25 +153,45 @@ def pcg_lm_step(poses, factors: FactorData, n_active, lam,
     return new_poses, graph_cost(new_poses, factors)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iterations",
+                                              "max_cg_iters"))
+def _solve_graph_pcg_fused(poses, factors: FactorData, n_active, lam0, tol,
+                           max_iterations: int, max_cg_iters: int):
+    """LM accept/reject schedule around PCG steps in one program (the PCG
+    twin of graph.solver._solve_graph_fused — one dispatch per optimize
+    call instead of one per LM iteration)."""
+    cost0 = graph_cost(poses, factors)
+
+    def cond(s):
+        _, _, _, it, done = s
+        return (it < max_iterations) & ~done
+
+    def body(s):
+        p, cost, lam, it, _ = s
+        cand, cand_cost = pcg_lm_step(p, factors, n_active, lam,
+                                      max_cg_iters=max_cg_iters)
+        ok = jnp.isfinite(cand_cost) & (cand_cost < cost)
+        improved = cost - cand_cost
+        new_p = jnp.where(ok, cand, p)
+        new_cost = jnp.where(ok, cand_cost, cost)
+        new_lam = jnp.where(ok, jnp.maximum(lam / 5.0, 1e-9),
+                            jnp.minimum(lam * 10.0, 1e4))
+        done = jnp.where(ok, improved < tol * jnp.maximum(new_cost, 1.0),
+                         new_lam >= 1e4)
+        return new_p, new_cost, new_lam, it + 1, done
+
+    poses, cost, _, _, _ = jax.lax.while_loop(
+        cond, body, (poses, cost0, jnp.float32(lam0), jnp.int32(0),
+                     jnp.bool_(False)))
+    return poses, cost
+
+
 def solve_graph_pcg(poses, factors: FactorData, n_active,
                     max_iterations: int = 15, lam0: float = 1e-6,
                     tol: float = 1e-7, max_cg_iters: int = 200):
-    """LM loop around PCG steps (same accept/reject policy as solve_graph)."""
-    cost = float(graph_cost(poses, factors))
-    lam = lam0
-    for _ in range(max_iterations):
-        cand, cand_cost = pcg_lm_step(poses, factors, n_active,
-                                      jnp.float32(lam),
-                                      max_cg_iters=max_cg_iters)
-        cand_cost = float(cand_cost)
-        if not (cand_cost < cost) or not jnp.isfinite(cand_cost):
-            lam = min(lam * 10.0, 1e4)
-            if lam >= 1e4:
-                break
-            continue
-        improved = cost - cand_cost
-        poses, cost = cand, cand_cost
-        lam = max(lam / 5.0, 1e-9)
-        if improved < tol * max(cost, 1.0):
-            break
-    return poses, cost
+    """LM loop around PCG steps (same accept/reject policy as solve_graph),
+    fused into one device dispatch."""
+    poses, cost = _solve_graph_pcg_fused(
+        poses, factors, jnp.asarray(n_active, dtype=jnp.int32),
+        jnp.float32(lam0), jnp.float32(tol), max_iterations, max_cg_iters)
+    return poses, float(cost)

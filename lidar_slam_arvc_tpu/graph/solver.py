@@ -250,18 +250,52 @@ def lm_drive(step_fn, poses: jax.Array, cost0: float,
     return poses, cost
 
 
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _solve_graph_fused(poses, factors, n_active, lam0, tol,
+                       max_iterations: int):
+    """The full LM accept/reject schedule of lm_drive inside ONE program.
+
+    Host-looped LM costs one dispatch + host sync per iteration — through
+    remote-execution tunnels that is >=13 ms each, dominating stage-2 wall
+    time at the pipeline's every-K-poses optimize cadence.  The fused
+    while_loop runs the identical schedule (same accept/reject, damping
+    ladder, and stop conditions as lm_drive) in a single dispatch.
+    """
+    cost0 = graph_cost(poses, factors)
+
+    def cond(s):
+        _, _, _, it, done = s
+        return (it < max_iterations) & ~done
+
+    def body(s):
+        p, cost, lam, it, _ = s
+        cand, cand_cost = _lm_step(p, factors, n_active, lam)
+        ok = jnp.isfinite(cand_cost) & (cand_cost < cost)
+        improved = cost - cand_cost
+        new_p = jnp.where(ok, cand, p)
+        new_cost = jnp.where(ok, cand_cost, cost)
+        new_lam = jnp.where(ok, jnp.maximum(lam / 5.0, 1e-9),
+                            jnp.minimum(lam * 10.0, 1e4))
+        done = jnp.where(ok, improved < tol * jnp.maximum(new_cost, 1.0),
+                         new_lam >= 1e4)
+        return new_p, new_cost, new_lam, it + 1, done
+
+    poses, cost, _, _, _ = jax.lax.while_loop(
+        cond, body, (poses, cost0, jnp.float32(lam0), jnp.int32(0),
+                     jnp.bool_(False)))
+    return poses, cost
+
+
 def solve_graph(poses: jax.Array, factors: FactorData, n_active,
                 max_iterations: int = 15, lam0: float = 1e-6,
                 tol: float = 1e-7):
-    """LM loop (host-controlled accept/reject around jitted steps).
+    """Batch LM solve, one device dispatch (see _solve_graph_fused).
 
     Returns (optimized poses, final cost).  Shapes are static, so repeated
     calls with a growing graph (same capacities) reuse the same executable.
     """
     n_active = jnp.asarray(n_active, dtype=jnp.int32)
-
-    def step(p, lam):
-        return _lm_step(p, factors, n_active, jnp.float32(lam))
-
-    return lm_drive(step, poses, graph_cost(poses, factors),
-                    max_iterations=max_iterations, lam0=lam0, tol=tol)
+    poses, cost = _solve_graph_fused(poses, factors, n_active,
+                                     jnp.float32(lam0), jnp.float32(tol),
+                                     max_iterations)
+    return poses, float(cost)
