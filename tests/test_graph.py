@@ -241,3 +241,35 @@ class TestMarginals:
         plot_trajectory_with_uncertainty(g.current_estimate,
                                          g.marginal_covariances(), str(out))
         assert out.exists() and out.stat().st_size > 0
+
+
+class TestFusedLMEquivalence:
+    def test_fused_schedule_matches_host_lm_drive(self, circle_graph):
+        # solve_graph runs the LM accept/reject schedule inside one jitted
+        # while_loop; it must match the host-driven lm_drive reference
+        # step-for-step (same damping ladder -> same accepted iterates)
+        import jax.numpy as jnp
+        from lidar_slam_arvc_tpu.graph import PoseGraph
+        from lidar_slam_arvc_tpu.graph.solver import (
+            _lm_step, graph_cost, lm_drive, solve_graph)
+        n, T_gt, rel_gt, rng = circle_graph
+        g = PoseGraph(max_poses=64, max_between=128, max_gps=8)
+        g.init_graph()
+        for i in range(n - 1):
+            rel = _noisy_rel(rel_gt[i], rng)
+            g.add_initial_estimate(rel, i + 1)
+            g.add_edge(rel, i, i + 1, "SM")
+        fd = g._factor_data()
+        poses = jnp.asarray(g.poses)
+        n_active = jnp.asarray(g.n_poses, dtype=jnp.int32)
+
+        p_fused, c_fused = solve_graph(poses, fd, g.n_poses,
+                                       max_iterations=10)
+
+        def step(p, lam):
+            return _lm_step(p, fd, n_active, jnp.float32(lam))
+        p_host, c_host = lm_drive(step, poses, graph_cost(poses, fd),
+                                  max_iterations=10)
+        assert abs(c_fused - float(c_host)) <= 1e-5 * max(float(c_host), 1.0)
+        np.testing.assert_allclose(np.asarray(p_fused)[:n],
+                                   np.asarray(p_host)[:n], atol=1e-5)

@@ -1,6 +1,8 @@
 """End-to-end pipeline tests on a synthetic EUROC dataset (BASELINE.json
 configs 1-4, small scale)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -322,3 +324,25 @@ class TestLoopClosureEndToEnd:
         _, T_sol = euroc.read_trajectory("/robot0/SLAM/solution_graphslam.csv")
         err = ate(T_sol, info["T_gt"])["rmse"]
         assert err < 0.15, err
+
+
+@pytest.mark.skipif(os.environ.get("LIDAR_SLAM_SLOW_TESTS") != "1",
+                    reason="slow: full loop-closure pipeline (~2 min); "
+                           "set LIDAR_SLAM_SLOW_TESTS=1")
+def test_pipeline_accepts_loop_closures(tmp_path):
+    """60-scan, 0.52 m-spacing circuit: the triplet gates (two candidates
+    1-2 m apart, index gap >=2) are satisfiable and closures are accepted
+    (geometry notes in BASELINE.md; run on TPU in benchmarks/e2e_tpu.py)."""
+    from lidar_slam_arvc_tpu.utils import synthetic
+    from lidar_slam_arvc_tpu.pipeline.scanmatcher import run_scanmatcher
+    from lidar_slam_arvc_tpu.pipeline.graphslam import run_graphslam
+    d = str(tmp_path / "loop60")
+    synthetic.make_dataset(d, n_scans=60, radius=5.0, scan_points=3000,
+                           slam_params={"radius_threshold": 2.0,
+                                        "distance_backwards": 8.0,
+                                        "skip_loop_closing": 10,
+                                        "skip_optimization": 10,
+                                        "number_of_triplets_loop_closing": 10})
+    run_scanmatcher(d, progress=False)
+    res = run_graphslam(d, progress=False)
+    assert res["n_loop_closures"] >= 2
