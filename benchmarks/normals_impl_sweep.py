@@ -117,6 +117,11 @@ def timeit_k(qb, tb, label):
         print(f"{label}: FAILED {str(exc).splitlines()[0][:140]}", flush=True)
 
 
-timeit_k(0, 0, "xla radius_accumulate")
-for qb, tb in [(2048, 512), (4096, 512), (1024, 1024)]:
+tiles = [(2048, 512), (4096, 512), (1024, 1024)]
+if os.environ.get("NORMALS_TILES"):
+    tiles = [tuple(int(v) for v in pair.split("x"))
+             for pair in os.environ["NORMALS_TILES"].split(",")]
+else:
+    timeit_k(0, 0, "xla radius_accumulate")
+for qb, tb in tiles:
     timeit_k(qb, tb, f"pallas qb={qb} tb={tb}")

@@ -93,7 +93,7 @@ def _ball_kernel(r2: float, tile_d2_ref, qT_ref, tgt_ref, out_ref, acc):
     static_argnames=("radius", "query_block", "tgt_block", "interpret"))
 def ball_moments_pallas(query: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
                         radius: float, query_block: int = 1024,
-                        tgt_block: int = 1024, interpret: bool = False,
+                        tgt_block: int = 512, interpret: bool = False,
                         query_mask: jax.Array | None = None):
     """Query-centered ball moments for every query point.
 
@@ -112,11 +112,13 @@ def ball_moments_pallas(query: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
     clouds arrive voxel-key-sorted, so consecutive blocks are spatially
     compact slabs and most tiles skip at LiDAR normal-estimation radii.
 
-    Block defaults (1024, 1024) measured fastest on TPU v5e: 1.21 ms per
-    dense 8192^2 sweep vs 1.47/1.48 at (2048, 512)/(4096, 512)
-    (benchmarks/normals_impl_sweep.py; the XLA raw-moment matmul path
-    measures 1.38 — the MXU absorbs its 42x padding waste, so the fused
-    kernel's win is VMEM traffic, not FLOPs).
+    Block defaults (1024, 512) measured fastest on TPU v5e with tile
+    skipping at voxelized density: 0.58 ms per 8192^2 sweep vs 0.60/0.63
+    at (512, 512)/(512, 1024) and 0.74 at (1024, 1024) — finer target
+    blocks skip a larger fraction of tiles (benchmarks/normals_impl_sweep
+    .py; the XLA raw-moment matmul path measures 1.38-1.46: the MXU
+    absorbs its 42x padding waste, so the fused kernel's win is VMEM
+    traffic + skipping, not FLOPs).
     Returns:
       (count (Q,), S1 (Q, 3), S2 (Q, 6)) — neighbor count, sums of
       (t - q) and of the upper triangle (xx,xy,xz,yy,yz,zz) of
