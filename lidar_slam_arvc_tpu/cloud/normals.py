@@ -25,8 +25,15 @@ from lidar_slam_arvc_tpu.ops import (
     ball_moments_pallas, radius_accumulate, smallest_eigenvector_sym3)
 
 
-def _cov_from_centered(count, s1, s2):
-    """Covariance from query-centered moments (ball_moments_pallas)."""
+def _cov_from_moments(count, s1, s2):
+    """Covariance cov = S2/n - m m^T from ball moments.
+
+    Works for BOTH moment conventions: query-centered moments
+    (ball_moments_pallas) and raw-origin moments (ops.nn.radius_accumulate)
+    — the algebra is identical, only the frame of the mean differs.  For
+    the raw-moment path the subtraction is catastrophically cancelling
+    (|S2/n| >> |cov|), so radius_accumulate MUST keep its
+    Precision.HIGHEST matmuls (see its docstring) for this to be safe."""
     n = jnp.maximum(count, 1.0)
     m = s1 / n[:, None]                      # mean offset from the query
     xx, xy, xz, yy, yz, zz = (s2[:, 0], s2[:, 1], s2[:, 2],
@@ -72,13 +79,13 @@ def estimate_normals(cloud: Cloud, radius: float,
         count, s1, s2 = ball_moments_pallas(
             cloud.points, cloud.points, cloud.mask, radius,
             interpret=(impl == "pallas_interpret"), query_mask=cloud.mask)
-        cov = _cov_from_centered(count, s1, s2)
+        cov = _cov_from_moments(count, s1, s2)
     elif impl == "xla":
         count, s1, s2 = radius_accumulate(
             cloud.points, cloud.points, cloud.mask, radius)
         # raw moments share the covariance algebra: cov = S2/n - m m^T,
         # with the mean taken about the raw origin instead of the query
-        cov = _cov_from_centered(count, s1, s2)
+        cov = _cov_from_moments(count, s1, s2)
     else:
         raise ValueError(
             f"unknown impl {impl!r} (auto|pallas|pallas_interpret|xla)")

@@ -163,6 +163,11 @@ def radius_accumulate(query: jax.Array, tgt: jax.Array, tgt_mask: jax.Array,
     (xx,xy,xz,yy,yz,zz).  The caller turns these into mean + covariance —
     the input to normal estimation — without ever materializing neighbor
     lists.  All three accumulations are masked matmuls on the MXU.
+
+    Precision note: these matmuls run at Precision.HIGHEST on purpose and it
+    is load-bearing — the raw (origin-referenced) moments feed
+    cloud.normals._cov_from_moments, whose cov = S2/n - m m^T subtraction
+    catastrophically cancels if S2 is accumulated in bfloat16.
     """
     Q = query.shape[0]
     q_p, _ = _pad_rows(query, query_block)

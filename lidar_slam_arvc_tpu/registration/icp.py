@@ -334,6 +334,11 @@ def icp(src: Cloud, tgt: Cloud, T_init: jax.Array,
         T, make_step(src_pts, src_mask_f), fine_iters,
         params.convergence_tol)
     iters = iters + it_f
+    # zero iterations (max_iterations=0 evaluate-only, or the while_loop's
+    # cond failing immediately) must read as converged, not as the +inf
+    # delta initializer — otherwise the divergence gate
+    # (final_delta > 100*tol) flags every evaluate-only result
+    final_delta = jnp.where(it_f > 0, final_delta, 0.0)
 
     if params.exact_metrics or params.max_iterations == 0:
         # recompute at the final transform (Open3D evaluate_registration

@@ -160,6 +160,7 @@ class TestBallMomentsPallas:
             c_ref, s1_ref, s2_ref = self._oracle(q[b], q[b], mask[b], 0.8)
             np.testing.assert_allclose(np.asarray(count[b]), c_ref, atol=0.5)
             np.testing.assert_allclose(np.asarray(s1[b]), s1_ref, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(s2[b]), s2_ref, atol=1e-4)
 
 
 class TestCloud:
