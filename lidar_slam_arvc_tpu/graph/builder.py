@@ -22,7 +22,13 @@ class PoseGraph:
                  T0_gps: np.ndarray | None = None,
                  max_poses: int = 4096, max_between: int | None = None,
                  max_gps: int | None = None,
-                 sigmas: NoiseSigmas = DEFAULT_SIGMAS):
+                 sigmas: NoiseSigmas = DEFAULT_SIGMAS,
+                 mesh=None):
+        # mesh: jax.sharding.Mesh with a 'data' axis.  When set (and the pose
+        # capacity divides evenly over it) optimize(solver='auto') picks the
+        # distributed Schur solver — the multi-device stage-2 path
+        # (SURVEY.md §2.3 row 3); None = single-device dense/PCG.
+        self.mesh = mesh
         self.max_poses = max_poses
         self.max_between = max_between or (4 * max_poses)
         self.max_gps = max_gps or max_poses
@@ -54,12 +60,15 @@ class PoseGraph:
     # ------------------------------------------------------------ building
 
     def init_graph(self):
-        """Prior at pose 0 with T0 (reference graphSLAM.py:79-86)."""
+        """Prior at pose 0 with T0, seeded at T0 (reference
+        graphSLAM.py:79-86: PriorFactorPose3(X(0), T0) + initial estimate
+        T0 — seeding identity when T0 != I would start the prior with a
+        large residual and bias pose 0)."""
         self.pr_i[0] = 0
         self.pr_T[0] = self.T0.astype(np.float32)
         self.pr_winv[0] = 1.0 / self.sigmas.prior
         self.n_prior = 1
-        self.poses[0] = np.eye(4, dtype=np.float32)
+        self.poses[0] = self.T0.astype(np.float32)
         self.n_poses = max(self.n_poses, 1)
 
     def add_edge(self, T_ij: np.ndarray, i: int, j: int, noise_type: str):
@@ -109,12 +118,34 @@ class PoseGraph:
         reference graphSLAM.py:102-105).
 
         solver: 'dense' (Cholesky on the full 6Nx6N normal equations),
-        'pcg' (matrix-free block-Jacobi preconditioned CG), or 'auto'
-        (dense up to 1024-pose capacity, PCG beyond).
+        'pcg' (matrix-free block-Jacobi preconditioned CG), 'schur'
+        (distributed chunk-wise Schur elimination over the attached mesh),
+        or 'auto' (schur when a multi-device mesh is attached and the pose
+        capacity divides over it; else dense up to 1024-pose capacity, PCG
+        beyond).
         """
         if solver == "auto":
-            solver = "dense" if self.max_poses <= 1024 else "pcg"
-        if solver == "pcg":
+            if (self.mesh is not None and self.mesh.size > 1
+                    and self.max_poses % self.mesh.size == 0
+                    and self.max_poses >= 2 * self.mesh.size):
+                solver = "schur"
+            else:
+                solver = "dense" if self.max_poses <= 1024 else "pcg"
+        if solver == "schur":
+            from lidar_slam_arvc_tpu.parallel.schur import schur_solve_graph
+            mesh = self.mesh
+            if mesh is None:
+                from lidar_slam_arvc_tpu.parallel.mesh import data_mesh
+                mesh = data_mesh()
+            if self.max_poses % mesh.size:
+                raise ValueError(
+                    f"pose capacity {self.max_poses} not divisible by mesh "
+                    f"size {mesh.size}")
+            poses, cost = schur_solve_graph(
+                mesh, jnp.asarray(self.poses), self._factor_data(),
+                self.n_poses, sep_capacity=self._sep_capacity(mesh.size),
+                max_iterations=max_iterations)
+        elif solver == "pcg":
             from lidar_slam_arvc_tpu.graph.pcg import solve_graph_pcg
             poses, cost = solve_graph_pcg(jnp.asarray(self.poses),
                                           self._factor_data(), self.n_poses,
@@ -126,13 +157,40 @@ class PoseGraph:
         self.poses = np.array(poses)  # writable host copy
         return cost
 
-    def marginal_covariances(self) -> np.ndarray:
-        """(n_poses, 6, 6) tangent-space [w, v] marginal covariance per pose
-        (gtsam.Marginals parity, reference graphSLAM.py:117-137)."""
-        from lidar_slam_arvc_tpu.graph.solver import marginal_covariances
-        cov = marginal_covariances(jnp.asarray(self.poses),
-                                   self._factor_data(), self.n_poses)
-        return np.array(cov[: self.n_poses], dtype=np.float64)
+    def _sep_capacity(self, n_devices: int) -> int:
+        """Static separator capacity for the Schur solver: the exact count
+        of poses touched by cross-chunk edges, rounded up to a power of two
+        (>=16) so the compiled step is reused as the graph grows."""
+        m = self.max_poses // n_devices
+        i = self.bt_i[: self.n_between]
+        j = self.bt_j[: self.n_between]
+        cross = (i // m) != (j // m)
+        n_sep = len(np.unique(np.concatenate([i[cross], j[cross]])))
+        cap = 16
+        while cap < n_sep:
+            cap *= 2
+        return min(cap, self.max_poses)
+
+    def marginal_covariances(self, indices=None) -> np.ndarray:
+        """Tangent-space [w, v] 6x6 marginal covariance blocks
+        (gtsam.Marginals parity, reference graphSLAM.py:117-137).
+
+        indices=None: all active poses — chunked dense back-substitution
+        (O((6N)^2) memory, same as the solve; fine to the dense-solver
+        capacity).  With indices (K,): matrix-free PCG per requested pose,
+        which scales to any capacity — used by the pipeline's skip-sampled
+        uncertainty artifact.  Returns (n_poses, 6, 6) or (K, 6, 6).
+        """
+        if indices is None:
+            from lidar_slam_arvc_tpu.graph.solver import marginal_covariances
+            cov = marginal_covariances(jnp.asarray(self.poses),
+                                       self._factor_data(), self.n_poses)
+            return np.array(cov[: self.n_poses], dtype=np.float64)
+        from lidar_slam_arvc_tpu.graph.pcg import marginal_blocks_pcg
+        cov = marginal_blocks_pcg(jnp.asarray(self.poses),
+                                  self._factor_data(), self.n_poses,
+                                  np.asarray(indices, dtype=np.int32))
+        return np.array(cov, dtype=np.float64)
 
     # ----------------------------------------------------------- queries
 

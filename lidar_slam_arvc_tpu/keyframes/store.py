@@ -40,6 +40,7 @@ class KeyframeStore:
         self.normals = None
         self.ground_mask = None
         self.nonground_mask = None
+        self.overflow = None   # (N,) voxels dropped per scan (capacity)
 
     # -------------------------------------------------------------- loading
 
@@ -66,10 +67,55 @@ class KeyframeStore:
         raw_pts, raw_mask = load_scans(euroc, self.scan_times,
                                        self.cfg.raw_capacity)
         (self.points, self.mask, self.normals, self.ground_mask,
-         self.nonground_mask) = preprocess_all(
+         self.nonground_mask, self.overflow) = preprocess_all(
             raw_pts, raw_mask, self.cfg, self.method, self.voxel_size,
             seed=seed)
         return self
+
+    # -------------------------------------------------------- sharding
+
+    def shard(self, mesh, axis: str = "data") -> "KeyframeStore":
+        """Shard the keyframe tensors over the mesh's scan axis.
+
+        SURVEY.md §2.3 row 2: the reference keeps every keyframe in one
+        host's RAM and hand-manages memory (keyframemanager.py:15,30 +
+        unload_pointcloud); here the stacked (N, CAP, ...) tensors are
+        placed with the SCAN axis sharded over the mesh, so each device
+        holds N/D keyframes.  Batched registration over arbitrary (i, j)
+        pairs still works unchanged: the gathers inside the jitted ICP
+        program become XLA collectives (all-gather of just the addressed
+        rows) — the "ICP on the owning host, else gather the two clouds"
+        data-placement story, compiler-inserted.
+
+        Scan count must be padded to a mesh multiple; rows are padded with
+        copies of the last scan (masked out of any pair list by callers —
+        the pipeline never addresses indices >= len(self)).
+        """
+        assert self.loaded, "call load_and_preprocess first"
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        D = mesh.shape[axis]
+        n = self.points.shape[0]
+        pad = (-n) % D
+        sharding = NamedSharding(mesh, P(axis))
+
+        def place(a):
+            if a is None:
+                return None
+            if pad:
+                a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)])
+            return jax.device_put(a, sharding)
+
+        self.points = place(self.points)
+        self.mask = place(self.mask)
+        self.normals = place(self.normals)
+        self.ground_mask = place(self.ground_mask)
+        self.nonground_mask = place(self.nonground_mask)
+        self._mesh = mesh
+        return self
+
+    @property
+    def sharded(self) -> bool:
+        return getattr(self, "_mesh", None) is not None
 
     # ------------------------------------------------------ registration
 

@@ -41,6 +41,31 @@ def initialize(coordinator_address: str | None = None,
     }
 
 
+def assemble_global_scans(mesh, local_arrays: dict, n_total: int,
+                          axis: str = "data"):
+    """Per-host loaded scan tensors -> globally sharded jax.Arrays.
+
+    Each process loads ONLY its host_scan_shard slice of the PCDs (disk I/O
+    is per-host) and passes the stacked local tensors here;
+    jax.make_array_from_process_local_data assembles the global (n_total,
+    ...) arrays whose scan axis is sharded over the mesh — no host ever
+    materializes the full stack.  ``local_arrays`` maps name -> (n_local,
+    ...) numpy array; n_total must be a mesh-size multiple (pad with copies
+    of the last scan).  Single-process (tests, one host) degenerates to a
+    device_put of the full stack, so the call sites are identical either
+    way.  Returns the dict with jax.Arrays.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+    out = {}
+    for name, a in local_arrays.items():
+        out[name] = jax.make_array_from_process_local_data(
+            sharding, np.asarray(a), (n_total,) + a.shape[1:])
+    return out
+
+
 def host_scan_shard(n_scans: int, process_index: int | None = None,
                     process_count: int | None = None) -> np.ndarray:
     """Scan indices this host is responsible for loading/preprocessing.

@@ -27,6 +27,10 @@ def _add_common(p):
     p.add_argument("--source-stride", type=int, default=None,
                    help="subsample ICP source clouds by this stride "
                         "(~stride x faster NN sweep; 1 = all points)")
+    p.add_argument("--devices", type=int, default=None, metavar="N",
+                   help="device-mesh width for the pipeline (stage-1 ICP "
+                        "sharding + stage-2 distributed Schur solve); "
+                        "0 = all visible devices, default 1 = single device")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persist compiled XLA programs to DIR (re-runs of "
                         "the same program skip the multi-minute compile)")
@@ -43,7 +47,22 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
     for name in ("scanmatch", "graph", "run", "view", "convert", "diag"):
         _add_common(sub.add_parser(name))
+    p_ing = sub.add_parser("ingest", help="extract a ROS1 bag into the "
+                           "EUROC layout (replaces the reference's broken "
+                           "bagreader.py)")
+    p_ing.add_argument("-i", "--ifile", required=True, dest="directory",
+                       help="output EUROC dataset directory")
+    p_ing.add_argument("--bag", required=True, help="input .bag (v2.0)")
+    p_ing.add_argument("--odom-topic", default=None)
+    p_ing.add_argument("--lidar-topic", default=None)
+    p_ing.add_argument("--gps-topic", default=None)
     args = parser.parse_args(argv)
+
+    if args.command == "ingest":
+        from lidar_slam_arvc_tpu.io.rosbag import ingest_bag
+        ingest_bag(args.bag, args.directory, odom_topic=args.odom_topic,
+                   lidar_topic=args.lidar_topic, gps_topic=args.gps_topic)
+        return 0
 
     if args.cpu:
         import jax
@@ -61,6 +80,8 @@ def main(argv=None):
         overrides["batch_size"] = args.batch_size
     if args.source_stride:
         overrides["source_stride"] = args.source_stride
+    if args.devices is not None:
+        overrides["mesh_devices"] = args.devices
     cfg = IcpConfig(**overrides)
 
     if args.command in ("scanmatch", "run"):

@@ -95,7 +95,11 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
         odo_rel = None
 
     n = len(sm_rel) + 1
-    graph = PoseGraph(T0=np.eye(4), T0_gps=T0_gps,
+    from lidar_slam_arvc_tpu.parallel.mesh import resolve_mesh
+    mesh = resolve_mesh(cfg.mesh_devices)
+    if mesh is not None and _next_pow2(n) < 2 * mesh.size:
+        mesh = None  # graph too small to split across devices
+    graph = PoseGraph(T0=np.eye(4), T0_gps=T0_gps, mesh=mesh,
                       max_poses=_next_pow2(n),
                       max_between=_next_pow2(2 * n + 8 * n_triplets
                                              * max(n // max(skip_loop_closing, 1), 1) + 64),
@@ -110,6 +114,10 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
         store = KeyframeStore(directory, scan_times, voxel_size=None,
                               method="icppointplane", cfg=cfg)
         store.load_and_preprocess()
+        if mesh is not None:
+            # scan axis sharded over the mesh: each device holds N/D
+            # keyframes; candidate-pair gathers become XLA collectives
+            store.shard(mesh)
         closer = LoopCloser(
             graph, store.points, store.mask, store.normals,
             distance_backwards=distance_backwards,
@@ -166,17 +174,22 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
                                     "/robot0/SLAM/loop_closures.csv")
     # uncertainty-ellipse artifact = the reference's live GraphSLAM.plot
     # with plot_uncertainty_ellipse=True (graphSLAM.py:115-145), headless.
-    # Dense H^-1 is O((6N)^2) memory — skip beyond the dense-solver regime.
+    # Only the plotted (skip-sampled) poses need marginals: chunked dense
+    # back-substitution up to the dense-solver capacity, matrix-free PCG
+    # blocks beyond — the artifact is produced at ANY graph size.
     try:
-        if graph.max_poses > 1024:
-            raise RuntimeError(
-                f"graph capacity {graph.max_poses} > 1024 (dense marginal "
-                "inverse too large; call marginal_covariances explicitly)")
         from lidar_slam_arvc_tpu.viz import plot_trajectory_with_uncertainty
+        skip = max(n // 64, 1)
+        if graph.max_poses <= 1024:
+            covs = graph.marginal_covariances()
+        else:
+            idx = np.arange(0, graph.n_poses, skip)
+            blocks = graph.marginal_covariances(indices=idx)
+            covs = np.zeros((graph.n_poses, 6, 6))
+            covs[idx] = blocks
         plot_trajectory_with_uncertainty(
-            graph.current_estimate, graph.marginal_covariances(),
-            f"{directory}/robot0/SLAM/uncertainty.png",
-            skip=max(n // 64, 1))
+            graph.current_estimate, covs,
+            f"{directory}/robot0/SLAM/uncertainty.png", skip=skip)
     except Exception as exc:  # plotting never fails the solve
         if progress:
             print(f"uncertainty plot skipped: {exc}")

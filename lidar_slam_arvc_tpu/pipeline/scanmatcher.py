@@ -126,16 +126,25 @@ def preprocess_all(raw_pts, raw_mask, cfg: IcpConfig, method: str,
          if outs[0].ground_mask is not None else None)
     ng = (cat([o.nonground_mask for o in outs])
           if outs[0].nonground_mask is not None else None)
-    return points, mask, normals, g, ng
+    n_vox = np.asarray(cat([o.n_voxels for o in outs]))
+    overflow = np.maximum(n_vox - cfg.capacity, 0)
+    if overflow.any():
+        # never silent: the densest-tail voxels were dropped (cloud/voxel.py)
+        print(f"WARNING: {int((overflow > 0).sum())}/{n} scans exceed "
+              f"capacity {cfg.capacity} (max occupied voxels "
+              f"{int(n_vox.max())}, {int(overflow.sum())} voxels dropped) — "
+              f"raise IcpConfig.capacity or coarsen voxel_size")
+    return points, mask, normals, g, ng, overflow
 
 
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("params", "method", "batch"))
-def _match_all_fused(points, mask, normals, idx_src, idx_tgt, seeds,
-                     params, method, batch):
-    """All scan pairs in one program: lax.map over batch groups of icp_batch."""
+def _match_groups(points, mask, normals, idx_src, idx_tgt, seeds,
+                  params, method, batch):
+    """lax.map over batch-size groups of icp_batch (gathers into the full
+    scan stack by index).  Shared body of the fused single-device program
+    and the per-device shard of the mesh program."""
     gs = idx_src.reshape(-1, batch)
     gt = idx_tgt.reshape(-1, batch)
     gseeds = seeds.reshape(-1, batch, 4, 4)
@@ -149,6 +158,39 @@ def _match_all_fused(points, mask, normals, idx_src, idx_tgt, seeds,
     T, fit, iters, delta = jax.lax.map(per_group, (gs, gt, gseeds))
     return (T.reshape(-1, 4, 4), fit.reshape(-1), iters.reshape(-1),
             delta.reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "method", "batch"))
+def _match_all_fused(points, mask, normals, idx_src, idx_tgt, seeds,
+                     params, method, batch):
+    """All scan pairs in one program: lax.map over batch groups of icp_batch."""
+    return _match_groups(points, mask, normals, idx_src, idx_tgt, seeds,
+                         params, method, batch)
+
+
+@functools.lru_cache(maxsize=8)
+def _mesh_matcher(mesh, params, method, batch, axis="data"):
+    """Jitted shard_map matcher: the pair list sharded over the mesh's
+    ``data`` axis, the scan stack replicated, each device lax.map-ing its
+    own batch groups (SURVEY.md §2.3 row 1 — data parallelism over scan
+    pairs replacing the reference's sequential loop,
+    run_scanmatcher.py:196-213).  One dispatch for the whole stage, D-way
+    parallel."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(points, mask, normals, idx_src, idx_tgt, seeds):
+        return _match_groups(points, mask, normals, idx_src, idx_tgt, seeds,
+                             params, method, batch)
+
+    # check_vma=False: the ICP while_loop carries start replicated and
+    # become device-varying, which the static varying-axes checker rejects;
+    # the body is ordinary per-device code with no collectives, so the
+    # check has nothing to protect here.
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis),) * 4, check_vma=False)
+    return jax.jit(fn)
 
 
 def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
@@ -176,8 +218,13 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
     icp_method = ("point_to_point" if method == "icppointpoint"
                   else "point_to_plane")
 
-    # pad the pair list to a batch multiple with self-pairs (discarded)
-    pad = (-n_pairs) % B
+    from lidar_slam_arvc_tpu.parallel.mesh import resolve_mesh
+    mesh = (resolve_mesh(cfg.mesh_devices)
+            if method in ("icppointplane", "icppointpoint") else None)
+
+    # pad the pair list to a batch multiple with self-pairs (discarded);
+    # under a mesh every device needs the same number of whole groups
+    pad = (-n_pairs) % (B * (mesh.size if mesh is not None else 1))
     idx_src = np.concatenate([np.arange(1, n_pairs + 1),
                               np.full(pad, n_pairs)])
     idx_tgt = np.concatenate([np.arange(0, n_pairs),
@@ -191,9 +238,16 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
     # and even locally one program gives XLA the full pipeline to overlap.
     if (checkpoint_path is None
             and method in ("icppointplane", "icppointpoint")):
-        T_all, fit, _, delta = _match_all_fused(
-            points, mask, normals, jnp.asarray(idx_src), jnp.asarray(idx_tgt),
-            jnp.asarray(seeds), params, icp_method, B)
+        if mesh is not None:
+            matcher = _mesh_matcher(mesh, params, icp_method, B)
+            T_all, fit, _, delta = matcher(
+                points, mask, normals, jnp.asarray(idx_src),
+                jnp.asarray(idx_tgt), jnp.asarray(seeds))
+        else:
+            T_all, fit, _, delta = _match_all_fused(
+                points, mask, normals, jnp.asarray(idx_src),
+                jnp.asarray(idx_tgt), jnp.asarray(seeds), params,
+                icp_method, B)
         T_all = np.asarray(T_all, dtype=np.float64)[:n_pairs]
         fit = np.asarray(fit)[:n_pairs]
         delta = np.asarray(delta)[:n_pairs]
@@ -207,7 +261,9 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
         if bad.any():
             T_all[bad] = seeds[:n_pairs][bad].astype(np.float64)
         if progress:
-            print(f"scanmatch pairs {n_pairs}/{n_pairs} (fused dispatch)")
+            tag = (f"mesh dispatch, {mesh.size} devices"
+                   if mesh is not None else "fused dispatch")
+            print(f"scanmatch pairs {n_pairs}/{n_pairs} ({tag})")
         return T_all
 
     out = np.empty((n_pairs, 4, 4), dtype=np.float64)
@@ -291,6 +347,13 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
 def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
                     progress: bool = True) -> dict:
     """Full stage 1; writes the scanmatcher CSVs and returns the trajectory."""
+    from lidar_slam_arvc_tpu.utils.profiling import CompileCounter
+    compiles = CompileCounter()
+    with compiles.scope():
+        return _run_scanmatcher(directory, cfg, progress, compiles)
+
+
+def _run_scanmatcher(directory, cfg, progress, compiles):
     euroc = EurocDataset(directory)
     params = euroc.read_scanmatcher_parameters()
     start_index = params.get("start_index", 0)
@@ -306,7 +369,7 @@ def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
 
     t_load = time.time()
     raw_pts, raw_mask = load_scans(euroc, scan_times, cfg.raw_capacity)
-    points, mask, normals, g, ng = preprocess_all(
+    points, mask, normals, g, ng, overflow = preprocess_all(
         raw_pts, raw_mask, cfg, method, voxel_size)
     preprocess_seconds = time.time() - t_load
     if progress:
@@ -354,6 +417,15 @@ def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
         "icp_seconds": round(icp_seconds, 4),
         "pairs": int(len(rel_sm)),
         "frames_per_second": round(len(rel_sm) / max(icp_seconds, 1e-9), 3),
+        # capacity accounting (never silent — cloud/voxel.py drops the tail
+        # when a scan's occupied voxels exceed IcpConfig.capacity)
+        "capacity": int(cfg.capacity),
+        "scans_over_capacity": int((overflow > 0).sum()),
+        "voxels_dropped_total": int(overflow.sum()),
+        "mesh_devices": int(cfg.mesh_devices),
+        # distinct-program accounting (compile regressions are the dominant
+        # one-time cost through remote-execution tunnels)
+        **compiles.report(),
     }
     os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
     with open(f"{directory}/robot0/viz/scanmatcher_profile.json", "w") as f:

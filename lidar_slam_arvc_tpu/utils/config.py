@@ -60,6 +60,12 @@ class IcpConfig:
     # cost ~f x while the point-to-plane solve stays overdetermined.
     # 1 = reference parity (all source points).
     source_stride: int = 1
+    # device-mesh width for the pipeline itself (SURVEY.md §2.3 rows 1/3):
+    # stage-1 ICP pair batches shard_map over a 1-D 'data' mesh and stage-2
+    # auto-selects the distributed Schur solver.  1 = single device (the
+    # reference-shaped sequential pipeline), 0 = all visible devices,
+    # N>1 = exactly N devices.  CLI: --devices.
+    mesh_devices: int = 1
 
     @classmethod
     def from_yaml(cls, path: str, **overrides) -> "IcpConfig":
