@@ -18,9 +18,16 @@ The reference's analogue is GTSAM ISAM2's incremental Bayes-tree update
 (graphSLAM.py:102-105); we batch re-solve at the same cadence, so ms/step
 here is directly the per-`optimize()` device cost.
 
-Usage (on the TPU host):
-    python benchmarks/graph_roofline.py [N_POSES] [REPS]
+For the matrix-free PCG step (graph/pcg.py:pcg_lm_step, the beyond-1024-pose
+solver) pass SOLVER=pcg: its per-step cost is max_cg_iters edge-sweeps of
+O(E) 6x6 block products — HBM-bound on re-reading the (E,6,6) Jacobian
+blocks each CG iteration — so the roofline reported is the CG-sweep memory
+bound, not the Cholesky flop bound.
 
+Usage (on the TPU host):
+    python benchmarks/graph_roofline.py [N_POSES] [REPS] [SOLVER]
+
+SOLVER: dense (default) | pcg.
 Prints one JSON line with measured ms/step and percent-of-roofline.
 Timing forces host transfers (np.asarray) because block_until_ready is
 unreliable through remote-execution backends.
@@ -37,6 +44,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_POSES = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+SOLVER = sys.argv[3] if len(sys.argv) > 3 else "dense"
+MAX_CG_ITERS = 100
 LOOP_EVERY = 40          # one loop-closure edge per this many poses
 
 MXU_F32_FLOPS = 49e12    # v5e: 197 Tflop/s bf16 / 4 for f32 accumulate paths
@@ -75,11 +84,19 @@ def main():
     import jax
     import jax.numpy as jnp
     from lidar_slam_arvc_tpu.graph.solver import _lm_step
+    from lidar_slam_arvc_tpu.graph.pcg import pcg_lm_step
 
     g = build_graph(N_POSES)
     poses = jnp.asarray(g.poses)
     factors = g._factor_data()
     n_active = jnp.asarray(g.n_poses, dtype=jnp.int32)
+
+    if SOLVER == "pcg":
+        step = lambda p: pcg_lm_step(p, factors, n_active,
+                                     jnp.float32(1e-6),
+                                     max_cg_iters=MAX_CG_ITERS)
+    else:
+        step = lambda p: _lm_step(p, factors, n_active, jnp.float32(1e-6))
 
     # REPS dependent steps inside one program so per-dispatch tunnel latency
     # amortizes out; each step feeds the next (a genuine LM iteration chain).
@@ -87,7 +104,7 @@ def main():
     def run(poses):
         def body(_, carry):
             p, acc = carry
-            p2, cost = _lm_step(p, factors, n_active, jnp.float32(1e-6))
+            p2, cost = step(p)
             return p2, acc + cost
         return jax.lax.fori_loop(0, REPS, body, (poses, 0.0))
 
@@ -100,18 +117,27 @@ def main():
     ms_per_step = dt / REPS * 1e3
 
     M = N_POSES * 6
-    chol_flops = (2.0 / 3.0) * M ** 3
-    t_chol = chol_flops / MXU_F32_FLOPS * 1e3
-    t_assemble = 4.0 * M * M / HBM_BYTES_PER_S * 1e3  # write dense H once
-    roofline_ms = t_chol + t_assemble
-
     n_edges = int(np.asarray(factors.bt_i).shape[0])
+    if SOLVER == "pcg":
+        # each CG iteration re-reads the (E,6,6) A/B blocks + (N,6,6)
+        # preconditioner + a handful of (N,6) vectors: ~2*E*36*4*2 bytes
+        bytes_per_cg = (2 * n_edges * 36 * 4 * 2 + N_POSES * 36 * 4
+                        + 6 * N_POSES * 6 * 4)
+        roofline_ms = MAX_CG_ITERS * bytes_per_cg / HBM_BYTES_PER_S * 1e3
+    else:
+        chol_flops = (2.0 / 3.0) * M ** 3
+        t_chol = chol_flops / MXU_F32_FLOPS * 1e3
+        t_assemble = 4.0 * M * M / HBM_BYTES_PER_S * 1e3  # write dense H once
+        roofline_ms = t_chol + t_assemble
+
     print(json.dumps({
+        "solver": SOLVER,
         "n_poses": N_POSES, "n_between": n_edges, "reps": REPS,
         "ms_per_lm_step": round(ms_per_step, 3),
         "roofline_ms": round(roofline_ms, 3),
         "pct_of_light": round(100 * roofline_ms / ms_per_step, 1),
         "steps_per_s": round(1e3 / ms_per_step, 1),
+        **({"max_cg_iters": MAX_CG_ITERS} if SOLVER == "pcg" else {}),
     }))
 
 

@@ -80,6 +80,76 @@ def _linearize(poses, factors: FactorData, n_active):
         factors.bt_i, factors.bt_j, factors.gps_i, factors.pr_i, inactive)
 
 
+def _build_tridiag_precond(lin: _LinearizedGraph, factors: FactorData, lam):
+    """Block-LDL^T factorization of the block-TRIDIAGONAL part of damped H.
+
+    SLAM normal equations are a stiff chain (consecutive-pose coupling at
+    ICP/odometry weight, ~2500x the GPS anchor weight) plus sparse loop
+    blocks.  Block-Jacobi ignores the chain, so CG propagates information
+    ~1 pose/iteration between anchors; taking the tridiagonal part as the
+    preconditioner solves the chain EXACTLY and leaves CG only the
+    loop-closure/GPS low-rank corrections — tens of iterations instead of
+    O(N).  SPD by construction: every factor's diagonal blocks stay in M,
+    only non-consecutive off-diagonal blocks are dropped (a PSD-preserving
+    truncation), plus Marquardt damping.
+
+    The factorization is a lax.scan of 6x6 ops over the pose chain
+    (sequential but tiny — ~N us on TPU, once per CG solve); applying it is
+    one forward + one backward scan.
+    """
+    N = lin.diag_blocks.shape[0]
+    A = lin.diag_blocks * (1.0 + lam) + 1e-8 * jnp.eye(
+        6, dtype=lin.diag_blocks.dtype)
+
+    # E[k] = damped H[k, k+1]: A^T W^2 B of consecutive between edges
+    AtWB = jnp.einsum("eba,eb,ebc->eac", lin.A, lin.w2_bt, lin.B,
+                      precision=_HI)
+    consec = factors.bt_j == factors.bt_i + 1
+    dst = jnp.where(consec, factors.bt_i, N)
+    E = jnp.zeros((N, 6, 6), dtype=A.dtype).at[dst].add(AtWB, mode="drop")
+    # chain ends at inactive poses: their identity diagonal + zero E rows
+    # (edges into them have zero weight) keep the factorization regular
+
+    Uinv0 = jnp.linalg.inv(A[0])
+
+    def fact_step(Uinv_prev, inputs):
+        Ak, Ek_prev = inputs
+        Wk = jnp.einsum("ba,bc->ac", Ek_prev, Uinv_prev, precision=_HI)
+        Uk = Ak - jnp.einsum("ab,bc->ac", Wk, Ek_prev, precision=_HI)
+        Uinv_k = jnp.linalg.inv(Uk)
+        return Uinv_k, (Uinv_k, Wk)
+
+    _, (Uinv_rest, W_rest) = jax.lax.scan(fact_step, Uinv0,
+                                          (A[1:], E[:-1]))
+    Uinv = jnp.concatenate([Uinv0[None], Uinv_rest])
+    W = jnp.concatenate([jnp.zeros((1, 6, 6), dtype=A.dtype), W_rest])
+    return Uinv, W, E
+
+
+def _apply_tridiag_precond(Uinv, W, E, b):
+    """Solve M x = b for block-tridiagonal M = (L+I) U (L+I)^T factors."""
+    def fwd(y_prev, inputs):
+        bk, Wk = inputs
+        yk = bk - jnp.einsum("ab,b->a", Wk, y_prev, precision=_HI)
+        return yk, yk
+
+    y0 = b[0]
+    _, y_rest = jax.lax.scan(fwd, y0, (b[1:], W[1:]))
+    y = jnp.concatenate([y0[None], y_rest])
+
+    def bwd(x_next, inputs):
+        yk, Uinv_k, Ek = inputs
+        xk = jnp.einsum("ab,b->a", Uinv_k,
+                        yk - jnp.einsum("ab,b->a", Ek, x_next,
+                                        precision=_HI), precision=_HI)
+        return xk, xk
+
+    xN = jnp.einsum("ab,b->a", Uinv[-1], y[-1], precision=_HI)
+    _, x_rest = jax.lax.scan(bwd, xN, (y[:-1], Uinv[:-1], E[:-1]),
+                             reverse=True)
+    return jnp.concatenate([x_rest, xN[None]])
+
+
 def _hx(lin: _LinearizedGraph, idx, x, lam):
     """(H + lam * blockdiag(H)) @ x for x (N,6)."""
     bt_i, bt_j, gps_i, pr_i, inactive = idx
@@ -105,18 +175,28 @@ def _hx(lin: _LinearizedGraph, idx, x, lam):
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("max_cg_iters",))
+@functools.partial(jax.jit, static_argnames=("max_cg_iters", "precond"))
 def pcg_lm_step(poses, factors: FactorData, n_active, lam,
-                max_cg_iters: int = 200, rtol: float = 1e-6):
-    """One damped GN step solved by block-Jacobi PCG; returns (poses, cost)."""
+                max_cg_iters: int = 200, rtol: float = 1e-6,
+                precond: str = "tridiag"):
+    """One damped GN step solved by preconditioned CG; returns (poses, cost).
+
+    precond: 'tridiag' (block-tridiagonal chain solve — default; converges
+    in tens of iterations on SLAM graphs) or 'jacobi' (block-diagonal)."""
     n_active = jnp.asarray(n_active, dtype=jnp.int32)
     lin, idx = _linearize(poses, factors, n_active)
     b = -lin.grad  # solve H delta = -grad
 
-    # block-Jacobi preconditioner with damping folded in
-    M = lin.diag_blocks * (1.0 + lam) + 1e-8 * jnp.eye(6, dtype=poses.dtype)
-    M_inv = jnp.linalg.inv(M)
-    apply_M = lambda r: jnp.einsum("nab,nb->na", M_inv, r, precision=_HI)
+    if precond == "tridiag":
+        Uinv, W, E = _build_tridiag_precond(lin, factors, lam)
+        apply_M = lambda r: _apply_tridiag_precond(Uinv, W, E, r)
+    else:
+        # block-Jacobi preconditioner with damping folded in
+        M = lin.diag_blocks * (1.0 + lam) + 1e-8 * jnp.eye(
+            6, dtype=poses.dtype)
+        M_inv = jnp.linalg.inv(M)
+        apply_M = lambda r: jnp.einsum("nab,nb->na", M_inv, r,
+                                       precision=_HI)
 
     def dot(a, b_):
         return jnp.sum(a * b_)
@@ -184,6 +264,57 @@ def _solve_graph_pcg_fused(poses, factors: FactorData, n_active, lam0, tol,
         cond, body, (poses, cost0, jnp.float32(lam0), jnp.int32(0),
                      jnp.bool_(False)))
     return poses, cost
+
+
+@functools.partial(jax.jit, static_argnames=("max_cg_iters",))
+def marginal_blocks_pcg(poses, factors: FactorData, n_active, indices,
+                        max_cg_iters: int = 400, rtol: float = 1e-9):
+    """Matrix-free marginal 6x6 covariance blocks for the requested poses.
+
+    The PCG-regime counterpart of graph.solver.marginal_covariances: for
+    each pose index p the 6 columns H^-1 e_{p,j} are solved by block-Jacobi
+    PCG against the linearized information operator (never assembling H),
+    and the block is read off at pose p.  Cost is 6 CG solves per requested
+    index — use for the skip-sampled uncertainty artifact, not all poses.
+    ``indices`` is a (K,) int array; returns (K, 6, 6).
+    """
+    n_active = jnp.asarray(n_active, dtype=jnp.int32)
+    lin, idx = _linearize(poses, factors, n_active)
+    zero = jnp.zeros((), dtype=poses.dtype)   # undamped H
+    Uinv, W, E = _build_tridiag_precond(lin, factors, zero)
+
+    def solve_one(p, j):
+        b = jnp.zeros_like(lin.grad).at[p, j].set(1.0)
+        apply_M = lambda r: _apply_tridiag_precond(Uinv, W, E, r)
+        dot = lambda a, c: jnp.sum(a * c)
+        r0 = b
+        z0 = apply_M(r0)
+        b_norm2 = jnp.maximum(dot(b, b), 1e-30)
+
+        def cond(s):
+            k, x, r, pp, rz = s
+            return (k < max_cg_iters) & (dot(r, r) > rtol * rtol * b_norm2)
+
+        def body(s):
+            k, x, r, pp, rz = s
+            Hp = _hx(lin, idx, pp, zero)
+            alpha = rz / jnp.maximum(dot(pp, Hp), 1e-30)
+            x = x + alpha * pp
+            r = r - alpha * Hp
+            z = apply_M(r)
+            rz_new = dot(r, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            return k + 1, x, r, z + beta * pp, rz_new
+
+        _, x, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros_like(b), r0, z0,
+                         dot(r0, z0)))
+        return x[p]                                   # (6,) column at pose p
+
+    def one_pose(p):
+        return jax.vmap(lambda j: solve_one(p, j))(jnp.arange(6)).T
+
+    return jax.lax.map(one_pose, jnp.asarray(indices, dtype=jnp.int32))
 
 
 def solve_graph_pcg(poses, factors: FactorData, n_active,

@@ -199,27 +199,45 @@ def _lm_step(poses, factors, n_active, lam):
     return new_poses, graph_cost(new_poses, factors)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def marginal_covariances(poses: jax.Array, factors: FactorData,
-                         n_active: jax.Array) -> jax.Array:
+                         n_active: jax.Array, chunk: int = 64) -> jax.Array:
     """Per-pose 6x6 marginal covariance blocks in the tangent frame [w, v].
 
     Parity with gtsam.Marginals(...).marginalCovariance(i) (reference
     graphslam/graphSLAM.py:117-137, used for the uncertainty ellipses in
     GraphSLAM.plot).  The linearized information matrix H = J^T W J is
-    assembled at the current estimate and inverted by Cholesky; the marginal
-    of pose i is the i-th 6x6 diagonal block of H^-1 (exact for the
-    Gaussian approximation — identical to what GTSAM computes).  Inactive
-    poses carry identity diagonal and are meaningless; slice [:n_poses] on
-    the host.
+    assembled at the current estimate and Cholesky-factored ONCE; the
+    marginal of pose i is the i-th 6x6 diagonal block of H^-1, obtained by
+    back-substituting 6-column unit RHS blocks ``chunk`` poses at a time
+    (lax.map) — never materializing the (6N)^2 full inverse, so memory is
+    O((6N)^2) for H/L only, same as the solve itself.  Inactive poses carry
+    identity diagonal and are meaningless; slice [:n_poses] on the host.
+
+    For graphs where even dense H is too large, use
+    graph.pcg.marginal_blocks_pcg (matrix-free, per-index).
     """
+    n = poses.shape[0]
+    chunk = min(chunk, n)
+    if n % chunk:
+        raise ValueError(f"pose capacity {n} not divisible by chunk {chunk}")
     H, _ = _assemble(poses, factors, jnp.asarray(n_active, dtype=jnp.int32))
     H = H + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype)
-    cov = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(H, lower=True),
-        jnp.eye(H.shape[0], dtype=H.dtype))
-    n = poses.shape[0]
-    return cov.reshape(n, 6, n, 6)[jnp.arange(n), :, jnp.arange(n), :]
+    F = jax.scipy.linalg.cho_factor(H, lower=True)
+    N6 = H.shape[0]
+    C6 = 6 * chunk
+
+    def one_chunk(ci):
+        cols = ci * C6 + jnp.arange(C6)
+        rhs = jnp.zeros((N6, C6), dtype=H.dtype).at[
+            cols, jnp.arange(C6)].set(1.0)
+        X = jax.scipy.linalg.cho_solve(F, rhs)     # (6N, 6*chunk)
+        Xr = X.reshape(n, 6, chunk, 6)
+        k = jnp.arange(chunk)
+        return Xr[ci * chunk + k, :, k, :]          # (chunk, 6, 6)
+
+    blocks = jax.lax.map(one_chunk, jnp.arange(n // chunk, dtype=jnp.int32))
+    return blocks.reshape(n, 6, 6)
 
 
 def lm_drive(step_fn, poses: jax.Array, cost0: float,

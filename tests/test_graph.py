@@ -161,6 +161,38 @@ class TestPCGSolver:
         after = ate(g.current_estimate, T_gt)["rmse"]
         assert after < before
 
+    def test_pcg_at_scale_with_loops_and_gps(self):
+        # the regime PCG exists for: 2048 ACTIVE poses, loop closures +
+        # GPS unary factors.  Exact between edges + drifted initial
+        # estimates make the optimum the ground truth itself, so accuracy
+        # is checked without a (prohibitively slow on CPU) dense solve.
+        rng = np.random.default_rng(11)
+        n = 2048
+        T_gt = synthetic.make_trajectory(n, radius=60.0)
+        g = PoseGraph(T0=T_gt[0], max_poses=n, max_between=3 * n,
+                      max_gps=n // 8 + 1)
+        g.init_graph()
+        for i in range(n - 1):
+            rel = np.linalg.inv(T_gt[i]) @ T_gt[i + 1]
+            drifted = rel.copy()
+            drifted[:3, 3] += rng.normal(scale=0.02, size=3)
+            g.add_initial_estimate(drifted, i + 1)
+            g.add_edge(rel, i, i + 1, "SM")
+        for k in range(1, 9):
+            i, j = 5 * k, n - 1 - 5 * k
+            g.add_edge(np.linalg.inv(T_gt[i]) @ T_gt[j], i, j, "SM")
+        for i in range(0, n, 8):
+            z = T_gt[i][:3, 3]
+            g.add_gps_factor(z[0], z[1], z[2], i)
+        before = ate(g.current_estimate, T_gt)["rmse"]
+        # default pipeline path: block-tridiagonal-preconditioned CG
+        # (graph/pcg.py) solves the chain exactly, so the 200-iteration
+        # default converges even on a 2048-pose trajectory
+        g.optimize(max_iterations=25, solver="pcg")
+        after = ate(g.current_estimate, T_gt)["rmse"]
+        assert before > 0.2, before   # drift accumulated over 2k poses
+        assert after < 0.05 * before, (before, after)
+
 
 class TestMarginals:
     """gtsam.Marginals parity (reference graphSLAM.py:117-137)."""
@@ -233,6 +265,53 @@ class TestMarginals:
                                        rtol=1e-2)
             np.testing.assert_allclose(cov[i] / d, blk / d,
                                        rtol=1e-2, atol=1e-2)
+
+    def _loopy_graph(self, n=20, cap=32):
+        rng = np.random.default_rng(3)
+        from lidar_slam_arvc_tpu.utils import synthetic
+        T_gt = synthetic.make_trajectory(n, radius=4.0)
+        g = PoseGraph(max_poses=cap, max_between=4 * cap, max_gps=cap)
+        g.init_graph()
+        for i in range(n - 1):
+            rel = np.linalg.inv(T_gt[i]) @ T_gt[i + 1]
+            rel[:3, 3] += rng.normal(scale=0.01, size=3)
+            g.add_initial_estimate(rel, i + 1)
+            g.add_edge(rel, i, i + 1, "SM")
+        g.add_edge(np.linalg.inv(T_gt[2]) @ T_gt[n - 2], 2, n - 2, "SM")
+        for i in (0, n // 2):
+            z = T_gt[i][:3, 3]
+            g.add_gps_factor(z[0], z[1], z[2], i)
+        g.optimize(max_iterations=10,
+                   solver="dense" if cap <= 64 else "pcg")
+        return g
+
+    def test_pcg_blocks_match_dense_chunked(self):
+        # the matrix-free per-index path (used by the uncertainty artifact
+        # beyond the dense capacity) must agree with the dense chunked
+        # back-substitution on the same loop-closed graph
+        g = self._loopy_graph()
+        cov_dense = g.marginal_covariances()
+        idx = np.array([0, 3, 10, 19])
+        cov_pcg = g.marginal_covariances(indices=idx)
+        for k, i in enumerate(idx):
+            d = np.sqrt(np.outer(np.diag(cov_dense[i]),
+                                 np.diag(cov_dense[i])))
+            np.testing.assert_allclose(cov_pcg[k] / d, cov_dense[i] / d,
+                                       rtol=2e-2, atol=2e-2)
+
+    def test_pcg_blocks_at_large_capacity(self):
+        # beyond the dense regime nothing materializes H: blocks stay
+        # finite, symmetric, and PSD at capacity 2048
+        g = self._loopy_graph(n=40, cap=2048)
+        idx = np.array([0, 17, 39])
+        cov = g.marginal_covariances(indices=idx)
+        assert cov.shape == (3, 6, 6)
+        assert np.all(np.isfinite(cov))
+        # CG converges to the f32 residual floor (~1e-7 relative), so the
+        # 6 independently-solved columns agree to ~1e-5 absolute
+        np.testing.assert_allclose(cov, np.swapaxes(cov, 1, 2),
+                                   rtol=1e-3, atol=1e-5)
+        assert np.all(np.linalg.eigvalsh(cov) > -1e-6)
 
     def test_uncertainty_plot_artifact(self, tmp_path):
         from lidar_slam_arvc_tpu.viz import plot_trajectory_with_uncertainty
