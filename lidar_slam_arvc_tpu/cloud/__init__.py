@@ -10,7 +10,9 @@ shapes so every per-scan operation jits once and batches across scans.
 from lidar_slam_arvc_tpu.cloud.cloud import (
     Cloud, from_numpy, to_numpy, crop_radius_height, num_valid,
 )
-from lidar_slam_arvc_tpu.cloud.voxel import voxel_downsample
+from lidar_slam_arvc_tpu.cloud.voxel import (
+    voxel_downsample, voxel_downsample_counted,
+)
 from lidar_slam_arvc_tpu.cloud.normals import estimate_normals
 from lidar_slam_arvc_tpu.cloud.plane import (
     ransac_ground_plane, split_by_plane, refine_plane_lsq,
@@ -18,6 +20,6 @@ from lidar_slam_arvc_tpu.cloud.plane import (
 
 __all__ = [
     "Cloud", "from_numpy", "to_numpy", "crop_radius_height", "num_valid",
-    "voxel_downsample", "estimate_normals",
+    "voxel_downsample", "voxel_downsample_counted", "estimate_normals",
     "ransac_ground_plane", "split_by_plane", "refine_plane_lsq",
 ]

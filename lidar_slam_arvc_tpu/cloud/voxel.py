@@ -21,14 +21,21 @@ _BITS_X, _BITS_Y, _BITS_Z = 11, 11, 10
 
 
 @functools.partial(jax.jit, static_argnames=("out_capacity",))
-def voxel_downsample(cloud: Cloud, voxel_size: float,
-                     out_capacity: int | None = None) -> Cloud:
-    """Centroid-per-voxel downsample.
+def voxel_downsample_counted(cloud: Cloud, voxel_size: float,
+                             out_capacity: int | None = None):
+    """Centroid-per-voxel downsample, returning (Cloud, n_voxels).
+
+    ``n_voxels`` is the occupied-voxel count BEFORE capacity truncation, so
+    ``max(n_voxels - out_capacity, 0)`` is the number of silently dropped
+    voxels — the pipeline surfaces this in its profile artifact instead of
+    losing the densest tail without a trace (the full-resolution
+    loop-closure regime of reference run_graphSLAM.py:224 routinely exceeds
+    16k points per scan).
 
     out_capacity defaults to the input capacity.  Grid extents beyond
     2048 x 2048 x 1024 voxels (e.g. 100m+ range at 5cm voxels) clip at the
     border — unreachable under the pipeline's radius/height crop.  If the
-    number of occupied voxels exceeds out_capacity the densest tail voxels
+    number of occupied voxels exceeds out_capacity the tail voxels
     (highest keys) are dropped.
     """
     capacity = cloud.points.shape[0]
@@ -70,4 +77,10 @@ def voxel_downsample(cloud: Cloud, voxel_size: float,
     centroids = sums[:out_capacity] / jnp.maximum(counts_out[:, None], 1.0)
     out_mask = jnp.arange(out_capacity) < jnp.minimum(n_voxels, out_capacity)
     return Cloud(points=jnp.where(out_mask[:, None], centroids, 0.0),
-                 mask=out_mask)
+                 mask=out_mask), n_voxels
+
+
+def voxel_downsample(cloud: Cloud, voxel_size: float,
+                     out_capacity: int | None = None) -> Cloud:
+    """voxel_downsample_counted without the occupancy count (see there)."""
+    return voxel_downsample_counted(cloud, voxel_size, out_capacity)[0]

@@ -25,6 +25,9 @@ class PreprocessedScans(NamedTuple):
     normals: jax.Array                   # (N, CAP, 3) — zeros if not needed
     ground_mask: jax.Array | None = None     # (N, CAP) for icp2planes
     nonground_mask: jax.Array | None = None  # (N, CAP)
+    # occupied voxels BEFORE capacity truncation: n_voxels[i] > CAP means
+    # scan i silently lost its tail — surfaced in the stage profile
+    n_voxels: jax.Array | None = None        # (N,) int32
 
 
 def _pre_one(raw_pts, raw_mask, key, cfg: IcpConfig, method: str,
@@ -33,11 +36,13 @@ def _pre_one(raw_pts, raw_mask, key, cfg: IcpConfig, method: str,
     c = cl.crop_radius_height(c, cfg.min_radius, cfg.max_radius,
                               cfg.min_height, cfg.max_height)
     if voxel_size is not None:
-        c = cl.voxel_downsample(c, voxel_size, out_capacity=cfg.capacity)
+        c, n_vox = cl.voxel_downsample_counted(c, voxel_size,
+                                               out_capacity=cfg.capacity)
     else:
         # compact to the working capacity without merging: degenerate voxel
         # grid finer than sensor resolution keeps points intact
-        c = cl.voxel_downsample(c, 0.01, out_capacity=cfg.capacity)
+        c, n_vox = cl.voxel_downsample_counted(c, 0.01,
+                                               out_capacity=cfg.capacity)
 
     # Covariance normals need >= ~8 ball neighbors; on a voxelized cloud
     # that means a radius of a few voxels.  The reference's fixed 0.3 m
@@ -58,7 +63,7 @@ def _pre_one(raw_pts, raw_mask, key, cfg: IcpConfig, method: str,
         g, ng = cl.split_by_plane(c, plane, 0.4)
         ground_mask, nonground_mask = g.mask, ng.mask
     normals = c.normals if c.normals is not None else jnp.zeros_like(c.points)
-    return c.points, c.mask, normals, ground_mask, nonground_mask
+    return c.points, c.mask, normals, ground_mask, nonground_mask, n_vox
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "voxel_size"))
@@ -67,6 +72,7 @@ def preprocess_batch(raw_pts, raw_mask, keys, cfg: IcpConfig, method: str,
     """vmap of the per-scan preprocess over a batch of raw scans."""
     fn = functools.partial(_pre_one, cfg=cfg, method=method,
                            voxel_size=voxel_size)
-    pts, mask, normals, g, ng = jax.vmap(fn)(raw_pts, raw_mask, keys)
+    pts, mask, normals, g, ng, n_vox = jax.vmap(fn)(raw_pts, raw_mask, keys)
     return PreprocessedScans(points=pts, mask=mask, normals=normals,
-                             ground_mask=g, nonground_mask=ng)
+                             ground_mask=g, nonground_mask=ng,
+                             n_voxels=n_vox)

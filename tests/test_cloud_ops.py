@@ -217,6 +217,19 @@ class TestVoxelDownsample:
         keys = np.unique(np.floor((pts - mins) / 1.0).astype(int) @ [10**6, 10**3, 1])
         assert int(cl.num_valid(out)) == len(keys)
 
+    def test_counted_reports_overflow(self, rng):
+        # more occupied voxels than out_capacity: the count still reports
+        # the TRUE occupancy so callers can surface the truncation
+        pts = (rng.uniform(0, 20, size=(800, 3))).astype(np.float32)
+        c = cl.from_numpy(pts, capacity=1024)
+        full = cl.voxel_downsample(c, voxel_size=0.5)
+        true_n = int(cl.num_valid(full))
+        assert true_n > 64
+        out, n_vox = cl.voxel_downsample_counted(c, voxel_size=0.5,
+                                                 out_capacity=64)
+        assert int(n_vox) == true_n
+        assert int(cl.num_valid(out)) == 64  # capacity-truncated
+
     def test_idempotent_when_sparse(self, rng):
         # points further apart than the voxel never merge
         pts = (np.arange(20)[:, None] * np.array([2.0, 0, 0])).astype(np.float32)
