@@ -54,6 +54,12 @@ REPS = int(os.environ.get("BENCH_REPS", 3))
 # normal-estimation implementation for the preprocess program
 # (cloud/normals.py estimate_normals impl=): auto | pallas | xla
 NORMALS_IMPL = os.environ.get("BENCH_NORMALS", "auto")
+# persistent XLA executable cache (utils/profiling.enable_compilation_cache).
+# Local backends skip recompiles entirely on re-runs; remote-execution
+# backends may recompile server-side, but the client-side program count is
+# tracked either way (CompileCounter).  Set BENCH_COMPILE_CACHE= to disable.
+COMPILE_CACHE = os.environ.get("BENCH_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/lidar_slam_xla"))
 
 
 def build_workload():
@@ -217,8 +223,16 @@ def run_cpu_baseline(scans, seeds):
 
 
 def main():
+    from lidar_slam_arvc_tpu.utils.profiling import (
+        CompileCounter, enable_compilation_cache)
+    if COMPILE_CACHE:
+        enable_compilation_cache(COMPILE_CACHE)
     scans, seeds = build_workload()
-    fps, t_icp, (t_pre, t_pre_run), T_out = run_device(scans, seeds)
+    counter = CompileCounter()
+    with counter.scope():
+        fps, t_icp, (t_pre, t_pre_run), T_out = run_device(scans, seeds)
+    sys.stderr.write(f"compiled programs: {counter.count} "
+                     f"({counter.seconds:.1f}s client-side compile)\n")
 
     skip_baseline = os.environ.get("BENCH_SKIP_BASELINE") == "1"
     if skip_baseline:

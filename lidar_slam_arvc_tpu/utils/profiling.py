@@ -60,7 +60,7 @@ class StageTimer:
         return " | ".join(parts)
 
 
-def enable_compilation_cache(path: str) -> None:
+def enable_compilation_cache(path: str, force: bool = False) -> None:
     """Persist compiled XLA executables to ``path`` across processes.
 
     Through remote-execution tunnels a distinct jitted program costs minutes
@@ -68,14 +68,68 @@ def enable_compilation_cache(path: str) -> None:
     shapes/params) near-instant.  No reference counterpart (the reference
     has no compiled programs).  Harmless no-op if the backend refuses to
     serialize executables — JAX falls back to compiling.
+
+    On the CPU backend this is a no-op unless ``force``: XLA:CPU AOT cache
+    entries record tuning flags (+prefer-no-scatter) as machine features
+    and warn loudly on every reload, and CPU compiles are seconds anyway —
+    the cache exists for accelerator programs.
     """
     import jax
+    if jax.default_backend() == "cpu" and not force:
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     # cache every program regardless of size/compile time: the per-program
     # dispatch overhead we are avoiding is the tunnel round-trip, not the
     # local compile
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+class CompileCounter:
+    """Counts distinct XLA compilations (and their wall time) in a scope.
+
+    Through remote-execution tunnels every distinct program costs minutes;
+    this makes the program count a first-class, regression-trackable metric
+    (BENCH r2 postmortem: preprocess-incl-compile grew 5x when kernel
+    variants multiplied).  Counts '/jax/core/compile/backend_compile'
+    events via jax.monitoring; note JAX compiles a few tiny internal
+    helpers on first use, so the count is an upper bound on user programs —
+    the durations are what matter.
+    """
+
+    _EVENT = "/jax/core/compile/backend_compile_duration"
+
+    def __init__(self):
+        self.events = []
+
+    @property
+    def count(self) -> int:
+        return len(self.events)
+
+    @property
+    def seconds(self) -> float:
+        return float(sum(self.events))
+
+    @contextlib.contextmanager
+    def scope(self):
+        from jax import monitoring
+
+        def listener(name, duration, **kw):
+            if name == self._EVENT:
+                self.events.append(duration)
+
+        monitoring.register_event_duration_secs_listener(listener)
+        try:
+            yield self
+        finally:
+            try:
+                monitoring.unregister_event_duration_listener(listener)
+            except Exception:
+                pass  # older JAX: listener stays, harmlessly appending
+
+    def report(self) -> dict:
+        return {"programs_compiled": self.count,
+                "compile_seconds": round(self.seconds, 3)}
 
 
 @contextlib.contextmanager

@@ -37,7 +37,7 @@ class TestCompilationCache:
         # cache dir (CPU backend supports serialization; on backends that
         # refuse, JAX silently falls back — the helper is a no-op then)
         cache = str(tmp_path / "xla_cache")
-        enable_compilation_cache(cache)
+        enable_compilation_cache(cache, force=True)  # CPU skipped by default
         try:
             @jax.jit
             def f(x):
