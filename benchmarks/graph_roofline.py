@@ -120,7 +120,12 @@ def main():
     n_edges = int(np.asarray(factors.bt_i).shape[0])
     if SOLVER == "pcg":
         # each CG iteration re-reads the (E,6,6) A/B blocks + (N,6,6)
-        # preconditioner + a handful of (N,6) vectors: ~2*E*36*4*2 bytes
+        # preconditioner + a handful of (N,6) vectors: ~2*E*36*4*2 bytes.
+        # NOTE: with the tridiagonal preconditioner the apply is two
+        # N-step scans of 6x6 ops — LATENCY-bound, not bandwidth-bound —
+        # and CG usually exits in far fewer than MAX_CG_ITERS iterations,
+        # so this bound is loose in both directions; treat ms_per_lm_step
+        # as the ground truth and pct_of_light as indicative only.
         bytes_per_cg = (2 * n_edges * 36 * 4 * 2 + N_POSES * 36 * 4
                         + 6 * N_POSES * 6 * 4)
         roofline_ms = MAX_CG_ITERS * bytes_per_cg / HBM_BYTES_PER_S * 1e3
