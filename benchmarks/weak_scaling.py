@@ -32,6 +32,9 @@ CAP = int(os.environ.get("WS_CAP", 4096))
 BATCH = int(os.environ.get("WS_BATCH", 4))
 ITERS = int(os.environ.get("WS_ITERS", 8))
 REPS = int(os.environ.get("WS_REPS", 3))
+# WS_SHARDED=1: shard the scan stack itself (ppermute halo exchange,
+# --shard-scans) instead of replicating it — the memory-scaling layout
+SHARDED = os.environ.get("WS_SHARDED", "0") == "1"
 
 
 def main():
@@ -41,7 +44,7 @@ def main():
     import jax.numpy as jnp
     from lidar_slam_arvc_tpu.parallel import data_mesh
     from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
-        _match_all_fused, _mesh_matcher)
+        _match_all_fused, _mesh_matcher, _sharded_stack_dispatch)
     from lidar_slam_arvc_tpu.registration import ICPParams
     from lidar_slam_arvc_tpu.utils import synthetic
     from lidar_slam_arvc_tpu import cloud as cl
@@ -85,6 +88,12 @@ def main():
             run = lambda: _match_all_fused(points, mask, normals, idx_src,
                                            idx_tgt, seeds, params,
                                            "point_to_plane", BATCH)
+        elif SHARDED:
+            mesh_d, np_pairs = data_mesh(D), n_pairs
+            run = lambda: _sharded_stack_dispatch(
+                mesh_d, points[: np_pairs + 1], mask[: np_pairs + 1],
+                normals[: np_pairs + 1], seeds_all[:np_pairs], params,
+                "point_to_plane", BATCH)
         else:
             matcher = _mesh_matcher(data_mesh(D), params, "point_to_plane",
                                     BATCH)

@@ -31,6 +31,11 @@ def _add_common(p):
                    help="device-mesh width for the pipeline (stage-1 ICP "
                         "sharding + stage-2 distributed Schur solve); "
                         "0 = all visible devices, default 1 = single device")
+    p.add_argument("--shard-scans", action="store_true",
+                   help="with --devices N: shard the preprocessed scan "
+                        "stack itself over the mesh (n_scans/N per device, "
+                        "ppermute halo for pair boundaries) instead of "
+                        "replicating it")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persist compiled XLA programs to DIR (re-runs of "
                         "the same program skip the multi-minute compile)")
@@ -82,6 +87,8 @@ def main(argv=None):
         overrides["source_stride"] = args.source_stride
     if args.devices is not None:
         overrides["mesh_devices"] = args.devices
+    if args.shard_scans:
+        overrides["shard_scans"] = True
     cfg = IcpConfig(**overrides)
 
     if args.command in ("scanmatch", "run"):

@@ -193,6 +193,74 @@ def _mesh_matcher(mesh, params, method, batch, axis="data"):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _mesh_matcher_sharded(mesh, params, method, batch, axis="data"):
+    """Jitted shard_map matcher with the SCAN STACK sharded over the mesh.
+
+    The replicated-stack matcher above is right when n_scans x capacity fits
+    every device; for long trajectories the stack itself must shard.  Layout:
+    device d holds the contiguous scans [d*K, (d+1)*K) and owns the K pairs
+    whose TARGET scan it holds.  The only remote datum is each device's last
+    pair's source — the NEXT device's first scan — fetched with one
+    ``ppermute`` halo exchange (the cyclic wrap row feeds a self-pair that is
+    discarded).  Communication is one scan per device per stage, O(capacity),
+    independent of trajectory length; everything else is local exactly like
+    the replicated path (SURVEY.md §2.3 row 2's "gather only what the pair
+    needs", here static and compiler-scheduled over ICI).
+    """
+    from jax.sharding import PartitionSpec as P
+    D = mesh.shape[axis]
+    # device d receives the first local row of device d+1 (cyclic)
+    perm = [((d + 1) % D, d) for d in range(D)]
+
+    def local(points, mask, normals, idx_src, idx_tgt, seeds):
+        halo_p = jax.lax.ppermute(points[:1], axis, perm)
+        halo_m = jax.lax.ppermute(mask[:1], axis, perm)
+        halo_n = jax.lax.ppermute(normals[:1], axis, perm)
+        pts = jnp.concatenate([points, halo_p])
+        msk = jnp.concatenate([mask, halo_m])
+        nrm = jnp.concatenate([normals, halo_n])
+        return _match_groups(pts, msk, nrm, idx_src, idx_tgt, seeds,
+                             params, method, batch)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 6, out_specs=(P(axis),) * 4, check_vma=False)
+    return jax.jit(fn)
+
+
+def _sharded_stack_dispatch(mesh, points, mask, normals, T_seeds, params,
+                            icp_method, B):
+    """Host-side layout for _mesh_matcher_sharded: pad scans to D*K, build
+    device-LOCAL pair indices (self-pairs for padding — they converge on the
+    first early-exit check), shard, dispatch.  Returns (T, fit, delta)
+    truncated to the real pairs."""
+    D = mesh.size
+    n_scans = points.shape[0]
+    n_pairs = n_scans - 1
+    K = -(-n_scans // (D * B)) * B          # scans (= pairs) per device
+    pad_s = D * K - n_scans
+
+    def pad(a):
+        return (jnp.concatenate([a, jnp.repeat(a[-1:], pad_s, axis=0)])
+                if pad_s else a)
+
+    glob = np.arange(D * K)
+    tgt_local = np.tile(np.arange(K), D)
+    # local source = target + 1 (index K = the halo row) for real pairs;
+    # padding pairs (incl. the cyclic-wrap row) are self-pairs
+    src_local = tgt_local + (glob < n_pairs)
+    seeds = np.tile(np.eye(4, dtype=np.float32), (D * K, 1, 1))
+    seeds[:n_pairs] = T_seeds.astype(np.float32)
+
+    matcher = _mesh_matcher_sharded(mesh, params, icp_method, B)
+    T_all, fit, _, delta = matcher(
+        pad(points), pad(mask), pad(normals), jnp.asarray(src_local),
+        jnp.asarray(tgt_local), jnp.asarray(seeds))
+    return (np.asarray(T_all, dtype=np.float64)[:n_pairs],
+            np.asarray(fit)[:n_pairs], np.asarray(delta)[:n_pairs])
+
+
 def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
                       cfg: IcpConfig, method: str,
                       ground_mask=None, nonground_mask=None,
@@ -238,19 +306,25 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
     # and even locally one program gives XLA the full pipeline to overlap.
     if (checkpoint_path is None
             and method in ("icppointplane", "icppointpoint")):
-        if mesh is not None:
+        if mesh is not None and cfg.shard_scans:
+            T_all, fit, delta = _sharded_stack_dispatch(
+                mesh, points, mask, normals, T_seeds, params, icp_method, B)
+        elif mesh is not None:
             matcher = _mesh_matcher(mesh, params, icp_method, B)
             T_all, fit, _, delta = matcher(
                 points, mask, normals, jnp.asarray(idx_src),
                 jnp.asarray(idx_tgt), jnp.asarray(seeds))
+            T_all = np.asarray(T_all, dtype=np.float64)[:n_pairs]
+            fit = np.asarray(fit)[:n_pairs]
+            delta = np.asarray(delta)[:n_pairs]
         else:
             T_all, fit, _, delta = _match_all_fused(
                 points, mask, normals, jnp.asarray(idx_src),
                 jnp.asarray(idx_tgt), jnp.asarray(seeds), params,
                 icp_method, B)
-        T_all = np.asarray(T_all, dtype=np.float64)[:n_pairs]
-        fit = np.asarray(fit)[:n_pairs]
-        delta = np.asarray(delta)[:n_pairs]
+            T_all = np.asarray(T_all, dtype=np.float64)[:n_pairs]
+            fit = np.asarray(fit)[:n_pairs]
+            delta = np.asarray(delta)[:n_pairs]
         # fallback gate: low inlier fraction, or still moving by >=100x the
         # convergence tol when max_iterations ran out (with carried metrics
         # the fitness predates the last update, so divergence on the final
@@ -261,8 +335,9 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
         if bad.any():
             T_all[bad] = seeds[:n_pairs][bad].astype(np.float64)
         if progress:
-            tag = (f"mesh dispatch, {mesh.size} devices"
-                   if mesh is not None else "fused dispatch")
+            tag = ("fused dispatch" if mesh is None else
+                   f"mesh dispatch, {mesh.size} devices"
+                   + (", sharded scan stack" if cfg.shard_scans else ""))
             print(f"scanmatch pairs {n_pairs}/{n_pairs} ({tag})")
         return T_all
 

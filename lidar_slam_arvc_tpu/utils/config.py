@@ -66,6 +66,14 @@ class IcpConfig:
     # reference-shaped sequential pipeline), 0 = all visible devices,
     # N>1 = exactly N devices.  CLI: --devices.
     mesh_devices: int = 1
+    # stage-1 memory scaling: shard the preprocessed SCAN STACK itself over
+    # the mesh (each device holds n_scans/D scans) instead of replicating
+    # it; consecutive-pair ICP gets the one cross-boundary scan per device
+    # via a ppermute halo exchange (pipeline/scanmatcher._mesh_matcher_
+    # sharded).  Off by default: replication is free at bench scale and
+    # avoids the halo collective; turn on for long trajectories where the
+    # replicated stack would not fit per-device HBM.  CLI: --shard-scans.
+    shard_scans: bool = False
 
     @classmethod
     def from_yaml(cls, path: str, **overrides) -> "IcpConfig":

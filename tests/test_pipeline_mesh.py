@@ -84,3 +84,63 @@ class TestMeshPipeline:
         from lidar_slam_arvc_tpu.pipeline import cli
         assert cli.main(["scanmatch", "-i", d8, "--capacity", "2048",
                          "--batch-size", "2", "--devices", "8"]) == 0
+
+    def test_stage1_sharded_scan_stack(self, datasets, tmp_path):
+        """--shard-scans: the scan stack sharded over the mesh (2 scans per
+        device + ppermute halo) must reproduce the replicated-stack result
+        bit-close, through the real run_scanmatcher path."""
+        d1, d8, info = datasets
+        dsh = str(tmp_path / "euroc_sharded")
+        shutil.copytree(d1, dsh)
+        out1 = run_scanmatcher(d1, cfg=IcpConfig(**CFG_KW), progress=False)
+        outs = run_scanmatcher(
+            dsh, cfg=IcpConfig(mesh_devices=8, shard_scans=True, **CFG_KW),
+            progress=False)
+        np.testing.assert_allclose(outs["relative"], out1["relative"],
+                                   atol=1e-5)
+        assert ate(outs["global"], info["T_gt"])["rmse"] < 0.2
+
+    def test_sharded_stack_pair_layout(self):
+        """Unit check of the halo/self-pair layout: n_scans NOT divisible by
+        the mesh, so padding rows and the cyclic-wrap row are all exercised."""
+        import jax.numpy as jnp
+        from lidar_slam_arvc_tpu.parallel.mesh import resolve_mesh
+        from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
+            _sharded_stack_dispatch, preprocess_all)
+        from lidar_slam_arvc_tpu.registration import ICPParams
+        from lidar_slam_arvc_tpu.cloud import from_numpy, estimate_normals
+
+        rng = np.random.default_rng(3)
+        mesh = resolve_mesh(8)
+        n_scans, cap = 13, 512          # 13 scans over 8 devices: K=2, pad=3
+        world = synthetic.make_world(rng, extent=8.0, n_ground=800,
+                                     n_pillars=6, pillar_pts=60)
+        T_gt = synthetic.make_trajectory(n_scans, radius=5.0)
+        clouds = []
+        for i in range(n_scans):
+            scan = synthetic.render_scan(world, T_gt[i], rng,
+                                         max_range=10.0, max_points=cap)
+            c = from_numpy(scan, cap)
+            clouds.append(estimate_normals(c, radius=0.6))
+        points = jnp.stack([c.points for c in clouds])
+        mask = jnp.stack([c.mask for c in clouds])
+        normals = jnp.stack([c.normals for c in clouds])
+        seeds = np.stack([np.linalg.inv(T_gt[i]) @ T_gt[i + 1]
+                          for i in range(n_scans - 1)])
+        params = ICPParams(max_correspondence_distance=5.0,
+                           max_iterations=10)
+        T, fit, delta = _sharded_stack_dispatch(
+            mesh, points, mask, normals, seeds, params, "point_to_plane", 2)
+        assert T.shape == (n_scans - 1, 4, 4)
+        assert (fit > 0.5).all()
+        # the layout must route every pair to the same (src, tgt) clouds the
+        # single-device fused dispatch uses — bit-close across all 12 pairs,
+        # including the 3 whose source arrives via the ppermute halo
+        from lidar_slam_arvc_tpu.pipeline.scanmatcher import _match_all_fused
+        idx_src = jnp.arange(1, n_scans)
+        idx_tgt = jnp.arange(0, n_scans - 1)
+        T_ref, _, _, _ = _match_all_fused(
+            points, mask, normals, idx_src, idx_tgt,
+            jnp.asarray(seeds, dtype=jnp.float32), params,
+            "point_to_plane", 2)
+        np.testing.assert_allclose(T, np.asarray(T_ref), atol=1e-5)
