@@ -59,16 +59,14 @@ class KeyframeStore:
         (keyframemanager.py:20-50) for the whole sequence at once.
         """
         from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
-            load_scans, preprocess_all,
+            load_and_preprocess_streamed,
         )
         if keyframe_sampling > 1:
             self.scan_times = self.scan_times[::keyframe_sampling]
         euroc = EurocDataset(self.directory)
-        raw_pts, raw_mask = load_scans(euroc, self.scan_times,
-                                       self.cfg.raw_capacity)
         (self.points, self.mask, self.normals, self.ground_mask,
-         self.nonground_mask, self.overflow) = preprocess_all(
-            raw_pts, raw_mask, self.cfg, self.method, self.voxel_size,
+         self.nonground_mask, self.overflow) = load_and_preprocess_streamed(
+            euroc, self.scan_times, self.cfg, self.method, self.voxel_size,
             seed=seed)
         return self
 

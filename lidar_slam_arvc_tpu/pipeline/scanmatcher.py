@@ -68,9 +68,13 @@ def load_scans(euroc: EurocDataset, scan_times, raw_capacity: int,
     Uses the native threaded batch loader (native/pcd_native.cpp via
     io.native) for binary/compressed files, with a python fallback per file
     (ascii PCDs, parse failures, or no toolchain)."""
+    return _load_paths([euroc.scan_pcd_path(t) for t in scan_times],
+                       raw_capacity, max_workers)
+
+
+def _load_paths(paths, raw_capacity: int, max_workers: int = 4):
     from lidar_slam_arvc_tpu.io import native
 
-    paths = [euroc.scan_pcd_path(t) for t in scan_times]
     n = len(paths)
     pts = mask = None
     if native.available():
@@ -118,6 +122,55 @@ def preprocess_all(raw_pts, raw_mask, cfg: IcpConfig, method: str,
                                jnp.asarray(raw_mask[sl]), keys[sl],
                                cfg, method, voxel_size)
         outs.append(out)
+    return _assemble_preprocessed(outs, n, cfg)
+
+
+def load_and_preprocess_streamed(euroc: EurocDataset, scan_times,
+                                 cfg: IcpConfig, method: str, voxel_size,
+                                 seed: int = 0, chunk_scans: int | None = None):
+    """Chunked PCD loading pipelined with device preprocessing.
+
+    ``load_scans`` + ``preprocess_all`` serialize the two phases: every PCD
+    is decoded before the first preprocess dispatch.  Here scans stream in
+    chunks with ONE-CHUNK LOOKAHEAD — a single IO thread decodes chunk k+1
+    (native batch loader) while the device preprocesses chunk k (JAX
+    dispatches are asynchronous, so the Python thread is free to block on
+    IO) — hiding whichever of host IO or device compute is cheaper.  Output
+    is identical to the two-phase path (same per-scan programs, same keys).
+    """
+    B = cfg.batch_size
+    if chunk_scans is None:
+        chunk_scans = max(8 * B, 32)
+    chunk_scans = -(-chunk_scans // B) * B
+    paths = [euroc.scan_pcd_path(t) for t in scan_times]
+    n = len(paths)
+    n_pad = (-n) % B
+    keys = jax.random.split(jax.random.PRNGKey(seed), n + n_pad)
+    chunks = [paths[i: i + chunk_scans] for i in range(0, n, chunk_scans)]
+
+    outs = []
+    base = 0
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(_load_paths, chunks[0], cfg.raw_capacity)
+        for ci in range(len(chunks)):
+            pts, mask = fut.result()
+            if ci + 1 < len(chunks):
+                fut = ex.submit(_load_paths, chunks[ci + 1],
+                                cfg.raw_capacity)
+            if ci == len(chunks) - 1 and n_pad:
+                pts = np.concatenate([pts, pts[-1:].repeat(n_pad, 0)])
+                mask = np.concatenate([mask, mask[-1:].repeat(n_pad, 0)])
+            for b in range(pts.shape[0] // B):
+                sl = slice(b * B, (b + 1) * B)
+                outs.append(preprocess_batch(
+                    jnp.asarray(pts[sl]), jnp.asarray(mask[sl]),
+                    keys[base + b * B: base + (b + 1) * B],
+                    cfg, method, voxel_size))
+            base += pts.shape[0]
+    return _assemble_preprocessed(outs, n, cfg)
+
+
+def _assemble_preprocessed(outs, n, cfg: IcpConfig):
     cat = lambda xs: jnp.concatenate(xs, axis=0)[:n]
     points = cat([o.points for o in outs])
     mask = cat([o.mask for o in outs])
@@ -443,9 +496,8 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
     rel_odo = relative_odometry(df_odo)
 
     t_load = time.time()
-    raw_pts, raw_mask = load_scans(euroc, scan_times, cfg.raw_capacity)
-    points, mask, normals, g, ng, overflow = preprocess_all(
-        raw_pts, raw_mask, cfg, method, voxel_size)
+    points, mask, normals, g, ng, overflow = load_and_preprocess_streamed(
+        euroc, scan_times, cfg, method, voxel_size)
     preprocess_seconds = time.time() - t_load
     if progress:
         print(f"loaded+preprocessed {len(scan_times)} scans "

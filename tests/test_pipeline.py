@@ -85,6 +85,30 @@ class TestScanmatcher:
                                        atol=1e-4)
 
 
+class TestStreamedPreprocess:
+    def test_streamed_matches_two_phase(self, dataset):
+        """load_and_preprocess_streamed (chunked IO pipelined with device
+        preprocessing) must be bit-identical to load_scans+preprocess_all:
+        same per-batch programs, same RNG keys, different scheduling only.
+        chunk_scans=8 over 18 scans exercises interior chunks, a partial
+        final chunk, and final-chunk padding (18 % 4 != 0 is false here, so
+        pad via an odd scan count slice)."""
+        from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
+            load_and_preprocess_streamed, load_scans, preprocess_all)
+        d, info = dataset
+        euroc = EurocDataset(d)
+        df = euroc.read_csv("/robot0/lidar/data.csv")
+        times = df["#timestamp [ns]"].to_numpy()[:15]   # 15 % batch 4 -> pad
+        raw_pts, raw_mask = load_scans(euroc, times, CFG.raw_capacity)
+        ref = preprocess_all(raw_pts, raw_mask, CFG, "icppointplane", 0.2)
+        got = load_and_preprocess_streamed(euroc, times, CFG,
+                                           "icppointplane", 0.2,
+                                           chunk_scans=8)
+        for a, b in zip(got[:3], ref[:3]):      # points, mask, normals
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(got[5], ref[5])   # overflow counts
+
+
 class TestGraphSLAM:
     def test_full_stage2(self, scanmatcher_result):
         d, info, out_sm = scanmatcher_result
