@@ -1,0 +1,169 @@
+"""TWO-PROCESS multi-host validation of the distributed pipeline (CPU/gloo).
+
+The virtual 8-device mesh (tests/conftest.py) proves sharding numerics but
+runs in ONE process — it cannot catch multi-controller bugs (non-addressable
+shards, per-host IO, process_allgather, jax.distributed bring-up).  This
+script runs the REAL multi-host code path: two OS processes, 4 virtual CPU
+devices each, joined by jax.distributed over localhost (Gloo collectives —
+the same JAX machinery that rides ICI/DCN on a TPU pod):
+
+  1. parallel.multihost.initialize           (jax.distributed bring-up)
+  2. per-host PCD loading of each host's scan shard (host_scan_shard)
+  3. assemble_global_scans                    (process-local -> global arrays)
+  4. stage-1 sharded-scan-stack ICP across both processes
+     (pipeline/scanmatcher._sharded_stack_dispatch: ppermute halo crosses
+     the process boundary; results process_allgather-ed to every host)
+  5. a distributed LM step over the global mesh (parallel/dist_solver.py)
+
+Both processes must reproduce the single-process stage-1 result (<=1e-4) and
+the dense LM solve (<=5e-3 translation).
+
+Usage:  python benchmarks/multihost_smoke.py          # parent: spawns both
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_SCANS = 16          # 8 global devices x K=2 scans/device, no padding
+BATCH = 2
+PORT = int(os.environ.get("MH_PORT", 12973))
+
+
+def child(process_id: int, directory: str) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from lidar_slam_arvc_tpu.parallel import multihost
+    topo = multihost.initialize(f"localhost:{PORT}", num_processes=2,
+                                process_id=process_id)
+    assert topo["process_count"] == 2 and topo["global_devices"] == 8, topo
+
+    from jax.sharding import Mesh
+    from lidar_slam_arvc_tpu.io import EurocDataset
+    from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
+        _sharded_stack_dispatch, load_scans, preprocess_all,
+        prepare_experiment_data, relative_odometry,
+    )
+    from lidar_slam_arvc_tpu.registration import ICPParams
+    from lidar_slam_arvc_tpu.utils.config import IcpConfig
+
+    cfg = IcpConfig(raw_capacity=4096, capacity=2048, batch_size=BATCH,
+                    max_iterations=15)
+    euroc = EurocDataset(directory)
+    scan_times, _, _, df_odo, _ = prepare_experiment_data(euroc, 0, 1.0)
+    assert len(scan_times) == N_SCANS
+    seeds = relative_odometry(df_odo)          # identical on both processes
+
+    # per-host disk IO: this process loads ONLY its contiguous scan block
+    # (the assembly shard — the sharded-stack matcher's halo exchange covers
+    # the boundary pair, so no overlap row is needed here)
+    pi = jax.process_index()
+    lo, hi = pi * (N_SCANS // 2), (pi + 1) * (N_SCANS // 2)
+    raw_pts, raw_mask = load_scans(euroc, scan_times[lo:hi],
+                                   cfg.raw_capacity)
+    pts, mask, normals, _, _, _ = preprocess_all(
+        raw_pts, raw_mask, cfg, "icppointplane", 0.2)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    g = multihost.assemble_global_scans(
+        mesh, {"points": np.asarray(pts), "mask": np.asarray(mask),
+               "normals": np.asarray(normals)}, N_SCANS)
+
+    params = ICPParams(max_correspondence_distance=cfg.distance_threshold,
+                       max_iterations=cfg.max_iterations)
+    T, fit, _ = _sharded_stack_dispatch(
+        mesh, g["points"], g["mask"], g["normals"], seeds, params,
+        "point_to_plane", BATCH)
+
+    T_ref = np.load(f"{directory}/single_process_relative.npy")
+    dev = float(np.abs(T - T_ref).max())
+    assert dev < 1e-4, f"proc {pi}: stage-1 dev vs single-process {dev}"
+    assert (fit > 0.5).all()
+
+    # distributed LM step across both processes (psum over gloo)
+    import jax.numpy as jnp
+    from lidar_slam_arvc_tpu.graph import PoseGraph
+    from lidar_slam_arvc_tpu.graph.solver import graph_cost, lm_drive, solve_graph
+    from lidar_slam_arvc_tpu.parallel import distributed_lm_step
+    from lidar_slam_arvc_tpu.utils import synthetic
+
+    rng = np.random.default_rng(4)
+    n = 32
+    T_gt = synthetic.make_trajectory(n, radius=5.0)
+    gph = PoseGraph(max_poses=n, max_between=2 * n, max_gps=n)
+    gph.init_graph()
+    for i in range(n - 1):
+        rel = np.linalg.inv(T_gt[i]) @ T_gt[i + 1]
+        rel[:3, 3] += rng.normal(scale=0.03, size=3)
+        gph.add_initial_estimate(rel, i + 1)
+        gph.add_edge(rel, i, i + 1, "SM")
+    gph.add_edge(np.linalg.inv(T_gt[2]) @ T_gt[n - 2], 2, n - 2, "SM")
+    poses0 = jnp.asarray(gph.poses)
+    fd = gph._factor_data()
+    cost0 = float(graph_cost(poses0, fd))
+    p_dense, c_dense = solve_graph(poses0, fd, gph.n_poses, max_iterations=8)
+    p_dist, c_dist = lm_drive(
+        lambda p, lam: distributed_lm_step(mesh, p, fd, gph.n_poses, lam=lam),
+        poses0, cost0, max_iterations=8)
+    dev_lm = float(np.abs(np.asarray(p_dist[:n, :3, 3])
+                          - np.asarray(p_dense[:n, :3, 3])).max())
+    assert float(c_dist) < 0.5 * cost0, (cost0, float(c_dist))
+    assert dev_lm < 5e-3, f"proc {pi}: distributed vs dense max|dt| {dev_lm}"
+
+    print(json.dumps({"process": pi, "stage1_max_dev": dev,
+                      "lm_cost": [round(cost0, 4), round(float(c_dist), 4)],
+                      "lm_max_dt_vs_dense": round(dev_lm, 6), "ok": True}),
+          flush=True)
+
+
+def parent() -> int:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from lidar_slam_arvc_tpu.pipeline.scanmatcher import run_scanmatcher
+    from lidar_slam_arvc_tpu.utils import synthetic
+    from lidar_slam_arvc_tpu.utils.config import IcpConfig
+
+    with tempfile.TemporaryDirectory() as d:
+        synthetic.make_dataset(
+            d, n_scans=N_SCANS, seed=21, radius=7.0, scan_points=2500,
+            scanmatcher_params={"voxel_size": 0.2, "method": "icppointplane",
+                                "delta_time": 1.0, "start_index": 0},
+            slam_params={"perform_loop_closing": False})
+        out = run_scanmatcher(d, cfg=IcpConfig(
+            raw_capacity=4096, capacity=2048, batch_size=BATCH,
+            max_iterations=15), progress=False)
+        np.save(f"{d}/single_process_relative.npy", out["relative"])
+
+        env = dict(os.environ,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", str(i), d],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for i in range(2)]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        ok = all(p.returncode == 0 for p in procs)
+        for i, o in enumerate(outs):
+            for line in o.splitlines():
+                if line.startswith("{"):
+                    print(line)
+        if not ok:
+            for i, o in enumerate(outs):
+                sys.stderr.write(f"--- child {i} ---\n{o}\n")
+            return 1
+        print(json.dumps({"metric": "multihost_smoke", "processes": 2,
+                          "global_devices": 8, "ok": True}))
+        return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3])
+    else:
+        sys.exit(parent())

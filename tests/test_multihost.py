@@ -1,0 +1,35 @@
+"""Two-process jax.distributed validation (benchmarks/multihost_smoke.py).
+
+Unlike every other sharding test (one process, 8 virtual devices), this
+spawns TWO OS processes joined by jax.distributed over localhost (Gloo) and
+asserts the real multi-controller path: per-host scan loading,
+assemble_global_scans, the sharded-scan-stack stage-1 matcher (ppermute halo
+crossing the process boundary, process_allgather of the sharded results),
+and a distributed LM step reduced with psum across processes.
+
+Gated like the other slow end-to-end tests: the two child processes
+each compile their own programs on this 2-core box (~3 min wall).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(os.environ.get("LIDAR_SLAM_SLOW_TESTS") != "1",
+                    reason="slow: spawns 2 jax.distributed processes "
+                           "(~3 min); set LIDAR_SLAM_SLOW_TESTS=1")
+def test_two_process_multihost_smoke():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)    # the smoke sets its own device count
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks",
+                                      "multihost_smoke.py")],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert '"metric": "multihost_smoke"' in out.stdout
+    assert '"ok": true' in out.stdout
