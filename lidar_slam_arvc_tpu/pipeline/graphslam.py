@@ -66,6 +66,13 @@ def _relative(T: np.ndarray) -> np.ndarray:
 def run_graphslam(directory: str, cfg: IcpConfig | None = None,
                   progress: bool = True) -> dict:
     """Full stage 2; writes solution_graphslam.csv + loop_closures.csv."""
+    from lidar_slam_arvc_tpu.utils.profiling import CompileCounter
+    compiles = CompileCounter()
+    with compiles.scope():
+        return _run_graphslam(directory, cfg, progress, compiles)
+
+
+def _run_graphslam(directory, cfg, progress, compiles):
     euroc = EurocDataset(directory)
     params = euroc.read_slam_parameters()
     perform_loop_closing = params.get("perform_loop_closing", True)
@@ -107,6 +114,7 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
     graph.init_graph()
 
     loops_enabled = perform_loop_closing
+    t_store0 = time.time()
     if loops_enabled:
         # full-resolution clouds for loop-closure ICP (voxel None —
         # run_graphSLAM.py:224); preprocessed once, batched
@@ -130,9 +138,11 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
                     else "point_to_plane"))
     else:
         closer = None
+    store_seconds = time.time() - t_store0
 
     corr_indexes = []
     loop_closures = []
+    n_optimizations = 0
     t0 = time.time()
     for i in range(len(sm_rel)):
         current_time = scan_times[i]
@@ -151,6 +161,7 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
 
         if i % skip_optimization == 0:
             graph.optimize()
+            n_optimizations += 1
 
         if loops_enabled and ((i % skip_loop_closing) == 0
                               or (len(sm_rel) - i) < 2):
@@ -158,6 +169,7 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
             loop_closures.append(part)
             if part:
                 graph.optimize()
+                n_optimizations += 1
         if progress:
             print(f"\rgraphSLAM step {i + 1}/{len(sm_rel)} "
                   f"({(i + 1) / max(time.time() - t0, 1e-9):.1f} steps/s)",
@@ -194,10 +206,35 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
         if progress:
             print(f"uncertainty plot skipped: {exc}")
     n_loops = sum(len(g) for g in loop_closures if g)
+    seconds = time.time() - t0
+
+    # per-stage profile artifact, mirroring stage 1's
+    # scanmatcher_profile.json (SURVEY.md §5: tracing as first-class)
+    import json
+    import os
+    profile = {
+        "store_load_preprocess_seconds": round(store_seconds, 4),
+        "solve_loop_seconds": round(seconds, 4),
+        "poses": int(n),
+        "optimizations": int(n_optimizations),
+        "loop_closing_rounds": int(len(loop_closures)),
+        "loop_closures_accepted": int(n_loops),
+        "gps_factors": int(len(corr_indexes)),
+        # mirror of builder.optimize's solver='auto' rule
+        "solver": ("schur" if (mesh is not None and mesh.size > 1
+                               and graph.max_poses % mesh.size == 0
+                               and graph.max_poses >= 2 * mesh.size)
+                   else "dense" if graph.max_poses <= 1024 else "pcg"),
+        "mesh_devices": int(cfg.mesh_devices),
+        **compiles.report(),
+    }
+    os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
+    with open(f"{directory}/robot0/viz/graphslam_profile.json", "w") as f:
+        json.dump(profile, f, indent=2)
     return {"solution": solution_lidar, "scan_times": scan_times,
             "loop_closures": loop_closures, "n_loop_closures": n_loops,
             "gps_correspondences": corr_indexes,
-            "seconds": time.time() - t0}
+            "seconds": seconds}
 
 
 def _next_pow2(x: int) -> int:

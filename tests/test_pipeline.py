@@ -126,6 +126,15 @@ class TestGraphSLAM:
         # uncertainty-ellipse artifact (GraphSLAM.plot parity)
         import os
         assert os.path.getsize(f"{d}/robot0/SLAM/uncertainty.png") > 1000
+        # per-stage profile artifact (stage-1 parity)
+        import json
+        with open(f"{d}/robot0/viz/graphslam_profile.json") as f:
+            prof = json.load(f)
+        assert prof["poses"] == N_SCANS
+        assert prof["optimizations"] >= 1
+        assert prof["loop_closing_rounds"] >= 1
+        assert prof["solver"] == "dense"
+        assert prof["programs_compiled"] >= 1
 
 
 class TestCLI:
