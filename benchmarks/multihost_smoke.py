@@ -34,14 +34,20 @@ sys.path.insert(0, REPO)
 
 N_SCANS = 16          # 8 global devices x K=2 scans/device, no padding
 BATCH = 2
-PORT = int(os.environ.get("MH_PORT", 12973))
 
 
-def child(process_id: int, directory: str) -> None:
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def child(process_id: int, directory: str, port: int) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
     from lidar_slam_arvc_tpu.parallel import multihost
-    topo = multihost.initialize(f"localhost:{PORT}", num_processes=2,
+    topo = multihost.initialize(f"localhost:{port}", num_processes=2,
                                 process_id=process_id)
     assert topo["process_count"] == 2 and topo["global_devices"] == 8, topo
 
@@ -78,9 +84,15 @@ def child(process_id: int, directory: str) -> None:
 
     params = ICPParams(max_correspondence_distance=cfg.distance_threshold,
                        max_iterations=cfg.max_iterations)
-    T, fit, _ = _sharded_stack_dispatch(
+    T, fit, delta = _sharded_stack_dispatch(
         mesh, g["points"], g["mask"], g["normals"], seeds, params,
         "point_to_plane", BATCH)
+    # the single-process reference went through match_consecutive's
+    # divergence gate — apply the same gate before comparing
+    bad = fit < cfg.min_fitness
+    if params.convergence_tol > 0:
+        bad |= delta > 100 * params.convergence_tol
+    T[bad] = seeds[bad]
 
     T_ref = np.load(f"{directory}/single_process_relative.npy")
     dev = float(np.abs(T - T_ref).max())
@@ -141,13 +153,30 @@ def parent() -> int:
             max_iterations=15), progress=False)
         np.save(f"{d}/single_process_relative.npy", out["relative"])
 
+        port = int(os.environ.get("MH_PORT", 0)) or _free_port()
         env = dict(os.environ,
                    XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        # children write to files, not pipes: sequential pipe draining can
+        # deadlock two collective-synchronized processes on full buffers
+        logs = [open(f"{d}/child{i}.log", "w+") for i in range(2)]
         procs = [subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child", str(i), d],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True) for i in range(2)]
-        outs = [p.communicate(timeout=600)[0] for p in procs]
+            [sys.executable, os.path.abspath(__file__), "--child", str(i),
+             d, str(port)],
+            env=env, stdout=logs[i], stderr=subprocess.STDOUT, text=True)
+            for i in range(2)]
+        try:
+            for p in procs:
+                p.wait(timeout=600)
+        finally:
+            for p in procs:        # a hung child must not outlive the run
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        outs = []
+        for f in logs:
+            f.seek(0)
+            outs.append(f.read())
+            f.close()
         ok = all(p.returncode == 0 for p in procs)
         for i, o in enumerate(outs):
             for line in o.splitlines():
@@ -164,6 +193,6 @@ def parent() -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]), sys.argv[3])
+        child(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
     else:
         sys.exit(parent())

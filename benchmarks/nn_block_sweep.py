@@ -18,10 +18,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-S = T = 8192
-BATCH = 8
+# env knobs: the shipped default was tuned at 8192^2 (bench config 2);
+# NBS_S/NBS_T re-tune for other regimes (e.g. 8192x16384 = capacity 16384
+# at source_stride 2, the reference-density config)
+S = int(os.environ.get("NBS_S", 8192))
+T = int(os.environ.get("NBS_T", 8192))
+BATCH = int(os.environ.get("NBS_BATCH", 8))
+IMPL = os.environ.get("NBS_IMPL", "vpu")     # vpu | vpu_t (transposed)
 CONFIGS = [(512, 1024), (512, 2048), (1024, 1024), (1024, 2048),
            (2048, 2048)]
+if os.environ.get("NBS_CONFIGS"):
+    CONFIGS = [tuple(int(x) for x in c.split("x"))
+               for c in os.environ["NBS_CONFIGS"].split(",")]
 
 
 def main():
@@ -42,7 +50,7 @@ def main():
                 def body(_, carry):
                     s, acc = carry
                     idx, d2 = nn_search_pallas(s, t, m, src_block=sb,
-                                               tgt_block=tb)
+                                               tgt_block=tb, impl=IMPL)
                     s = s + 1e-12 * d2[:, None]
                     return s, acc + jnp.sum(d2)
                 return jax.lax.fori_loop(0, REPS, body, (s0, 0.0))[1]

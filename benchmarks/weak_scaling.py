@@ -35,6 +35,9 @@ REPS = int(os.environ.get("WS_REPS", 3))
 # WS_SHARDED=1: shard the scan stack itself (ppermute halo exchange,
 # --shard-scans) instead of replicating it — the memory-scaling layout
 SHARDED = os.environ.get("WS_SHARDED", "0") == "1"
+# sharded slots/device = ceil(P/B)*B: keep P a batch multiple so both
+# layouts do identical per-device work
+PAIRS_PER_DEV = -(-PAIRS_PER_DEV // BATCH) * BATCH
 
 
 def main():
@@ -89,11 +92,15 @@ def main():
                                            idx_tgt, seeds, params,
                                            "point_to_plane", BATCH)
         elif SHARDED:
-            mesh_d, np_pairs = data_mesh(D), n_pairs
+            # n_scans = D*PAIRS_PER_DEV exactly -> K = PAIRS_PER_DEV slots
+            # per device with NO padding: same per-device work as the
+            # replicated layout (the single cyclic-wrap slot is a self-pair,
+            # 1/(D*P) of the work), so efficiency measures communication,
+            # not padding
+            mesh_d, ns = data_mesh(D), n_pairs
             run = lambda: _sharded_stack_dispatch(
-                mesh_d, points[: np_pairs + 1], mask[: np_pairs + 1],
-                normals[: np_pairs + 1], seeds_all[:np_pairs], params,
-                "point_to_plane", BATCH)
+                mesh_d, points[:ns], mask[:ns], normals[:ns],
+                seeds_all[: ns - 1], params, "point_to_plane", BATCH)
         else:
             matcher = _mesh_matcher(data_mesh(D), params, "point_to_plane",
                                     BATCH)

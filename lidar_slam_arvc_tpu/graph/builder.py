@@ -112,6 +112,15 @@ class PoseGraph:
             pr_winv=jnp.asarray(self.pr_winv),
         )
 
+    def auto_solver(self) -> str:
+        """The solver optimize(solver='auto') will pick — single source of
+        truth, also reported in the stage-2 profile artifact."""
+        if (self.mesh is not None and self.mesh.size > 1
+                and self.max_poses % self.mesh.size == 0
+                and self.max_poses >= 2 * self.mesh.size):
+            return "schur"
+        return "dense" if self.max_poses <= 1024 else "pcg"
+
     def optimize(self, max_iterations: int = 15,
                  solver: str = "auto") -> float:
         """Batch LM re-solve of the whole graph (replaces isam.update,
@@ -125,12 +134,7 @@ class PoseGraph:
         beyond).
         """
         if solver == "auto":
-            if (self.mesh is not None and self.mesh.size > 1
-                    and self.max_poses % self.mesh.size == 0
-                    and self.max_poses >= 2 * self.mesh.size):
-                solver = "schur"
-            else:
-                solver = "dense" if self.max_poses <= 1024 else "pcg"
+            solver = self.auto_solver()
         if solver == "schur":
             from lidar_slam_arvc_tpu.parallel.schur import schur_solve_graph
             mesh = self.mesh

@@ -220,11 +220,7 @@ def _run_graphslam(directory, cfg, progress, compiles):
         "loop_closing_rounds": int(len(loop_closures)),
         "loop_closures_accepted": int(n_loops),
         "gps_factors": int(len(corr_indexes)),
-        # mirror of builder.optimize's solver='auto' rule
-        "solver": ("schur" if (mesh is not None and mesh.size > 1
-                               and graph.max_poses % mesh.size == 0
-                               and graph.max_poses >= 2 * mesh.size)
-                   else "dense" if graph.max_poses <= 1024 else "pcg"),
+        "solver": graph.auto_solver(),
         "mesh_devices": int(cfg.mesh_devices),
         **compiles.report(),
     }

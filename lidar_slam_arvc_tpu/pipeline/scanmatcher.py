@@ -282,18 +282,19 @@ def _mesh_matcher_sharded(mesh, params, method, batch, axis="data"):
     return jax.jit(fn)
 
 
-def _to_host(a, dtype=None):
-    """Mesh-sharded device result -> full host array on every process.
+def _to_host(*arrays):
+    """Mesh-sharded device results -> full host arrays on every process.
 
-    Single-process (incl. the virtual CPU mesh): plain transfer.  Multi-host
+    Single-process (incl. the virtual CPU mesh): plain transfers.  Multi-host
     (jax.distributed): shards living on other processes are not addressable,
-    so all-gather them first — every host gets the full result, matching the
-    reference's single-host output contract."""
+    so all-gather them first — ONE collective for all arrays (each gather is
+    a blocking cross-process round-trip) — and every host gets the full
+    result, matching the reference's single-host output contract."""
     import jax
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
-        a = multihost_utils.process_allgather(a, tiled=True)
-    return np.asarray(a, dtype=dtype)
+        arrays = multihost_utils.process_allgather(tuple(arrays), tiled=True)
+    return tuple(np.asarray(a) for a in arrays)
 
 
 def _sharded_stack_dispatch(mesh, points, mask, normals, T_seeds, params,
@@ -324,8 +325,9 @@ def _sharded_stack_dispatch(mesh, points, mask, normals, T_seeds, params,
     T_all, fit, _, delta = matcher(
         pad(points), pad(mask), pad(normals), jnp.asarray(src_local),
         jnp.asarray(tgt_local), jnp.asarray(seeds))
-    return (_to_host(T_all, np.float64)[:n_pairs],
-            _to_host(fit)[:n_pairs], _to_host(delta)[:n_pairs])
+    T_all, fit, delta = _to_host(T_all, fit, delta)
+    return (T_all.astype(np.float64)[:n_pairs], fit[:n_pairs],
+            delta[:n_pairs])
 
 
 def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
@@ -381,9 +383,10 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
             T_all, fit, _, delta = matcher(
                 points, mask, normals, jnp.asarray(idx_src),
                 jnp.asarray(idx_tgt), jnp.asarray(seeds))
-            T_all = _to_host(T_all, np.float64)[:n_pairs]
-            fit = _to_host(fit)[:n_pairs]
-            delta = _to_host(delta)[:n_pairs]
+            T_all, fit, delta = _to_host(T_all, fit, delta)
+            T_all = T_all.astype(np.float64)[:n_pairs]
+            fit = fit[:n_pairs]
+            delta = delta[:n_pairs]
         else:
             T_all, fit, _, delta = _match_all_fused(
                 points, mask, normals, jnp.asarray(idx_src),

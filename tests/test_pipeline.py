@@ -90,9 +90,8 @@ class TestStreamedPreprocess:
         """load_and_preprocess_streamed (chunked IO pipelined with device
         preprocessing) must be bit-identical to load_scans+preprocess_all:
         same per-batch programs, same RNG keys, different scheduling only.
-        chunk_scans=8 over 18 scans exercises interior chunks, a partial
-        final chunk, and final-chunk padding (18 % 4 != 0 is false here, so
-        pad via an odd scan count slice)."""
+        15 scans with chunk_scans=8 exercise a full interior chunk, a
+        partial final chunk, and final-chunk padding (15 % batch 4 = 3)."""
         from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
             load_and_preprocess_streamed, load_scans, preprocess_all)
         d, info = dataset
