@@ -567,6 +567,7 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
         "scans_over_capacity": int((overflow > 0).sum()),
         "voxels_dropped_total": int(overflow.sum()),
         "mesh_devices": int(cfg.mesh_devices),
+        "shard_scans": bool(cfg.shard_scans),
         # distinct-program accounting (compile regressions are the dominant
         # one-time cost through remote-execution tunnels)
         **compiles.report(),
