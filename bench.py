@@ -25,14 +25,15 @@ import time
 
 import numpy as np
 
-# 129 scans (128 pairs): the reference's sequences are hundreds of scans
+# 257 scans (256 pairs): the reference's sequences are hundreds of scans
 # (automate.sh datasets), and the ICP phase has a fixed ~22 ms
 # dispatch+tunnel overhead on top of ~0.4 ms/pair marginal cost — at the
-# old 33-scan workload the fixed part dominated (789 fps) where 128 pairs
-# measures actual throughput (1758 fps; 256 pairs: 2058, asymptote ~2500).
+# old 33-scan workload the fixed part dominated (789 fps) where 256 pairs
+# measures actual throughput (2058 fps; 128 pairs: 1758, asymptote ~2500;
+# diminishing beyond 256 while host-side workload build keeps growing).
 # The CPU baseline is per-pair-extrapolated so vs_baseline stays
 # apples-to-apples at any scan count.
-N_SCANS = int(os.environ.get("BENCH_SCANS", 129))         # pairs = N-1
+N_SCANS = int(os.environ.get("BENCH_SCANS", 257))         # pairs = N-1
 SCAN_POINTS = int(os.environ.get("BENCH_POINTS", 12000))
 VOXEL = 0.2
 # group size 4 measured best on TPU v5e: a vmapped group runs until every
