@@ -48,10 +48,13 @@ NN_IMPL = os.environ.get("BENCH_NN", "auto")  # auto | pallas | pruned | xla
 # persistent source subsampling (registration/icp.py source_stride), applied
 # to BOTH the device ICP and the CPU baseline so vs_baseline stays
 # apples-to-apples.  Measured accuracy-neutral on this workload (deviation
-# from ground-truth relatives: 1.5/1.8 mm rmse at stride 2/4 — noise floor)
-# for 471/667/826 frames/s at stride 1/2/4 on TPU v5e.  Default 2;
-# 1 = all sources (reference parity).
-STRIDE = int(os.environ.get("BENCH_STRIDE", 2))
+# from ground-truth relatives at 256 pairs: 1.0/1.2/1.3 mm rmse at stride
+# 2/3/4 — the scan-noise floor, far below the 0.2 m voxel size) for
+# 2078/2209/2725 frames/s.  At the old 32-pair workload the fixed dispatch
+# overhead muted the stride axis (813/832/874 at 2/3/4), which is why the
+# default was 2 through r2; at throughput-scale workloads the sweep
+# dominates again.  Default 4; 1 = all sources (reference parity).
+STRIDE = int(os.environ.get("BENCH_STRIDE", 4))
 # se(3)-update-norm early-exit tolerance (registration/icp.py
 # ICPParams.convergence_tol); exposed for tolerance/iteration sweeps
 TOL = float(os.environ.get("BENCH_TOL", 1e-4))
