@@ -27,7 +27,9 @@ bound, not the Cholesky flop bound.
 Usage (on the TPU host):
     python benchmarks/graph_roofline.py [N_POSES] [REPS] [SOLVER]
 
-SOLVER: dense (default) | pcg.
+SOLVER: dense (default) | pcg | breakdown (times residuals/assembly/
+damping/Cholesky/retraction separately to locate the dense step's true
+bound).
 Prints one JSON line with measured ms/step and percent-of-roofline.
 Timing forces host transfers (np.asarray) because block_until_ready is
 unreliable through remote-execution backends.
@@ -91,6 +93,8 @@ def main():
     factors = g._factor_data()
     n_active = jnp.asarray(g.n_poses, dtype=jnp.int32)
 
+    if SOLVER == "breakdown":
+        return breakdown(poses, factors, n_active)
     if SOLVER == "pcg":
         step = lambda p: pcg_lm_step(p, factors, n_active,
                                      jnp.float32(1e-6),
@@ -110,6 +114,61 @@ def main():
 
     out = run(poses)                       # compile + warmup
     np.asarray(out[1])
+    _time_main(run, poses, factors)
+
+
+def breakdown(poses, factors, n_active):
+    """Time the pieces of the dense LM step as separate fori-chained
+    programs: where do the 14.8 ms/step at 1024 poses actually go?"""
+    import jax
+    import jax.numpy as jnp
+    from lidar_slam_arvc_tpu.graph.solver import (
+        _assemble, _lm_step, graph_cost)
+
+    H0, b0 = _assemble(poses, factors, n_active)
+    lam = jnp.float32(1e-6)
+    eyeM = jnp.eye(H0.shape[0], dtype=H0.dtype)
+
+    def chain(fn, x0):
+        """REPS dependent applications of fn inside one program."""
+        @jax.jit
+        def run(x):
+            def body(_, c):
+                return fn(c)
+            return jax.lax.fori_loop(0, REPS, body, x0)
+        out = run(x0)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.time()
+        out = run(x0)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return (time.time() - t0) / REPS * 1e3
+
+    # each piece perturbed by its own output so the loop carries a data dep
+    t_asm = chain(lambda c: _assemble(
+        poses + 1e-12 * c[1][0], factors, n_active)[0:2], (H0, b0))
+    t_chol = chain(lambda c: (jax.scipy.linalg.cho_factor(
+        H0 + lam * jnp.diag(jnp.diag(H0)) + 1e-9 * eyeM
+        + 1e-12 * c[0][0, 0] * eyeM, lower=True)),
+        jax.scipy.linalg.cho_factor(H0 + 1e-9 * eyeM, lower=True))
+    t_cost = chain(lambda c: (graph_cost(poses + 1e-12 * c, factors)
+                              * jnp.ones_like(poses)), poses)
+    t_full = chain(lambda c: _lm_step(poses + 1e-12 * c[0], factors,
+                                      n_active, lam), (poses,
+                                                       jnp.float32(0.0)))
+    M = poses.shape[0] * 6
+    print(json.dumps({
+        "solver": "breakdown", "n_poses": N_POSES, "reps": REPS,
+        "assemble_ms": round(t_asm, 3),
+        "cholesky_ms": round(t_chol, 3),
+        "cost_ms": round(t_cost, 3),
+        "full_step_ms": round(t_full, 3),
+        "chol_roofline_ms": round((2/3) * M**3 / MXU_F32_FLOPS * 1e3, 3),
+        "assemble_roofline_ms": round(4.0 * M * M / HBM_BYTES_PER_S * 1e3, 3),
+    }))
+
+
+def _time_main(run, poses, factors):
+    import numpy as np  # noqa: F811 (shadow for clarity)
     t0 = time.time()
     out = run(poses)
     np.asarray(out[1])

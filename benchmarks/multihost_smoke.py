@@ -8,15 +8,17 @@ devices each, joined by jax.distributed over localhost (Gloo collectives —
 the same JAX machinery that rides ICI/DCN on a TPU pod):
 
   1. parallel.multihost.initialize           (jax.distributed bring-up)
-  2. per-host PCD loading of each host's scan shard (host_scan_shard)
-  3. assemble_global_scans                    (process-local -> global arrays)
-  4. stage-1 sharded-scan-stack ICP across both processes
-     (pipeline/scanmatcher._sharded_stack_dispatch: ppermute halo crosses
-     the process boundary; results process_allgather-ed to every host)
-  5. a distributed LM step over the global mesh (parallel/dist_solver.py)
+  2. run_scanmatcher(directory) — THE REAL CLI STAGE-1 ENTRY POINT — which
+     under jax.process_count() > 1 loads only this host's scan block,
+     assembles the global mesh-sharded stack, and dispatches the
+     sharded-stack matcher (ppermute halo crosses the process boundary;
+     results process_allgather-ed to every host, CSVs written by process 0)
+  3. a distributed LM step over the global mesh (parallel/dist_solver.py)
 
-Both processes must reproduce the single-process stage-1 result (<=1e-4) and
-the dense LM solve (<=5e-3 translation).
+Both processes must reproduce the single-process stage-1 result (<=1e-4),
+load only n_scans/2 PCDs each, and the dense LM solve (<=5e-3 translation);
+the parent additionally compares the multi-process CSVs against the
+single-process CSVs.
 
 Usage:  python benchmarks/multihost_smoke.py          # parent: spawns both
 """
@@ -52,52 +54,27 @@ def child(process_id: int, directory: str, port: int) -> None:
     assert topo["process_count"] == 2 and topo["global_devices"] == 8, topo
 
     from jax.sharding import Mesh
-    from lidar_slam_arvc_tpu.io import EurocDataset
-    from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
-        _sharded_stack_dispatch, load_scans, preprocess_all,
-        prepare_experiment_data, relative_odometry,
-    )
-    from lidar_slam_arvc_tpu.registration import ICPParams
+    from lidar_slam_arvc_tpu.pipeline.scanmatcher import run_scanmatcher
     from lidar_slam_arvc_tpu.utils.config import IcpConfig
 
-    cfg = IcpConfig(raw_capacity=4096, capacity=2048, batch_size=BATCH,
+    cfg = IcpConfig(raw_capacity=4096, capacity=4096, batch_size=BATCH,
                     max_iterations=15)
-    euroc = EurocDataset(directory)
-    scan_times, _, _, df_odo, _ = prepare_experiment_data(euroc, 0, 1.0)
-    assert len(scan_times) == N_SCANS
-    seeds = relative_odometry(df_odo)          # identical on both processes
-
-    # per-host disk IO: this process loads ONLY its contiguous scan block
-    # (the assembly shard — the sharded-stack matcher's halo exchange covers
-    # the boundary pair, so no overlap row is needed here)
     pi = jax.process_index()
-    lo, hi = pi * (N_SCANS // 2), (pi + 1) * (N_SCANS // 2)
-    raw_pts, raw_mask = load_scans(euroc, scan_times[lo:hi],
-                                   cfg.raw_capacity)
-    pts, mask, normals, _, _, _ = preprocess_all(
-        raw_pts, raw_mask, cfg, "icppointplane", 0.2)
 
-    mesh = Mesh(np.array(jax.devices()), ("data",))
-    g = multihost.assemble_global_scans(
-        mesh, {"points": np.asarray(pts), "mask": np.asarray(mask),
-               "normals": np.asarray(normals)}, N_SCANS)
-
-    params = ICPParams(max_correspondence_distance=cfg.distance_threshold,
-                       max_iterations=cfg.max_iterations)
-    T, fit, delta = _sharded_stack_dispatch(
-        mesh, g["points"], g["mask"], g["normals"], seeds, params,
-        "point_to_plane", BATCH)
-    # the single-process reference went through match_consecutive's
-    # divergence gate — apply the same gate before comparing
-    bad = fit < cfg.min_fitness
-    if params.convergence_tol > 0:
-        bad |= delta > 100 * params.convergence_tol
-    T[bad] = seeds[bad]
+    # THE REAL CLI ENTRY POINT: run_scanmatcher detects process_count > 1
+    # and takes the per-host-I/O + sharded-global-stack path itself
+    out = run_scanmatcher(directory, cfg=cfg, progress=False)
+    assert out["scans_loaded_locally"] == N_SCANS // 2, (
+        f"proc {pi}: loaded {out['scans_loaded_locally']} scans, "
+        f"expected its {N_SCANS // 2}-scan shard only")
+    T = out["relative"]
+    assert T.shape == (N_SCANS - 1, 4, 4)
 
     T_ref = np.load(f"{directory}/single_process_relative.npy")
     dev = float(np.abs(T - T_ref).max())
     assert dev < 1e-4, f"proc {pi}: stage-1 dev vs single-process {dev}"
-    assert (fit > 0.5).all()
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
 
     # distributed LM step across both processes (psum over gloo)
     import jax.numpy as jnp
@@ -149,9 +126,12 @@ def parent() -> int:
                                 "delta_time": 1.0, "start_index": 0},
             slam_params={"perform_loop_closing": False})
         out = run_scanmatcher(d, cfg=IcpConfig(
-            raw_capacity=4096, capacity=2048, batch_size=BATCH,
+            raw_capacity=4096, capacity=4096, batch_size=BATCH,
             max_iterations=15), progress=False)
         np.save(f"{d}/single_process_relative.npy", out["relative"])
+        import shutil
+        shutil.copy(f"{d}/robot0/scanmatcher/scanmatcher_relative.csv",
+                    f"{d}/golden_relative.csv")
 
         port = int(os.environ.get("MH_PORT", 0)) or _free_port()
         env = dict(os.environ,
@@ -186,8 +166,17 @@ def parent() -> int:
             for i, o in enumerate(outs):
                 sys.stderr.write(f"--- child {i} ---\n{o}\n")
             return 1
+        # the multi-process run's CSV (written by child process 0) must
+        # match the single-process CSV
+        import pandas as pd
+        a = pd.read_csv(f"{d}/golden_relative.csv")
+        b = pd.read_csv(f"{d}/robot0/scanmatcher/scanmatcher_relative.csv")
+        assert list(a.columns) == list(b.columns)
+        dev_csv = float(np.abs(a.to_numpy() - b.to_numpy()).max())
+        assert dev_csv < 1e-4, f"CSV dev multi vs single process: {dev_csv}"
         print(json.dumps({"metric": "multihost_smoke", "processes": 2,
-                          "global_devices": 8, "ok": True}))
+                          "global_devices": 8, "csv_max_dev": dev_csv,
+                          "ok": True}))
         return 0
 
 

@@ -135,6 +135,33 @@ def main():
         summary["physical_cores"] = os.cpu_count()
         summary["virtual_mesh_efficiency_ceiling"] = round(
             min(1.0, os.cpu_count() / results[-1]["devices"]), 3)
+
+    # --- communication/compute model for projecting real-hardware scaling
+    # (BASELINE.md >=80% north star; this environment has one chip).
+    # Sharded stage 1 communicates exactly ONE scan per device per stage
+    # (the ppermute halo: points f32x3 + normals f32x3 + mask bool) plus the
+    # per-pair result allgather (4x4 f32 + 2 scalars).  Efficiency(D) =
+    # compute / (compute + comm) with compute = pairs_per_device x the
+    # MEASURED single-chip per-pair ICP time (CLAUDE.md r3 fit: ~0.4 ms/pair
+    # marginal on TPU v5e at capacity 8192) — both terms scale per device,
+    # so the projection is D-independent until the allgather's log(D) term
+    # matters.  Override via WS_COMPUTE_MS_PER_PAIR / WS_ICI_BYTES_PER_S.
+    halo_bytes = CAP * (3 * 4 + 3 * 4 + 1)
+    result_bytes_per_pair = 16 * 4 + 8
+    compute_ms_per_pair = float(os.environ.get("WS_COMPUTE_MS_PER_PAIR",
+                                               0.4))
+    ici = float(os.environ.get("WS_ICI_BYTES_PER_S", 4.5e10))
+    t_compute = PAIRS_PER_DEV * compute_ms_per_pair * 1e-3
+    t_comm = (halo_bytes + PAIRS_PER_DEV * result_bytes_per_pair) / ici
+    summary["comm_model"] = {
+        "halo_bytes_per_device_per_stage": int(halo_bytes),
+        "result_allgather_bytes_per_pair": int(result_bytes_per_pair),
+        "assumed_compute_ms_per_pair": compute_ms_per_pair,
+        "assumed_ici_bytes_per_s": ici,
+        "pairs_per_device": int(PAIRS_PER_DEV),
+        "projected_efficiency_real_hardware": round(
+            t_compute / (t_compute + t_comm), 4),
+    }
     print(json.dumps(summary))
 
 

@@ -9,6 +9,7 @@ shapes so every per-scan operation jits once and batches across scans.
 
 from lidar_slam_arvc_tpu.cloud.cloud import (
     Cloud, from_numpy, to_numpy, crop_radius_height, num_valid,
+    compact_counted,
 )
 from lidar_slam_arvc_tpu.cloud.voxel import (
     voxel_downsample, voxel_downsample_counted,
@@ -20,6 +21,7 @@ from lidar_slam_arvc_tpu.cloud.plane import (
 
 __all__ = [
     "Cloud", "from_numpy", "to_numpy", "crop_radius_height", "num_valid",
+    "compact_counted",
     "voxel_downsample", "voxel_downsample_counted", "estimate_normals",
     "ransac_ground_plane", "split_by_plane", "refine_plane_lsq",
 ]

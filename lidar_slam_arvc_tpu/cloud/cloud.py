@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -48,6 +49,51 @@ def to_numpy(cloud: Cloud) -> np.ndarray:
 
 def num_valid(cloud: Cloud) -> jax.Array:
     return jnp.sum(cloud.mask.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("out_capacity",))
+def compact_counted(cloud: Cloud, out_capacity: int | None = None):
+    """Compact valid points into a fixed-capacity prefix WITHOUT merging.
+
+    The full-resolution route: the reference's loop-closure stage passes
+    voxel None (run_graphSLAM.py:224) so ICP sees raw geometry.  A spatial
+    key is deliberately NOT used here — routing full-resolution clouds
+    through a degenerate fine voxel grid silently merged everything beyond
+    the 32-bit key's ~20 m addressable extent into border voxels,
+    fabricating centroids metres away from any real point.  This path
+    guarantees output points are a subset of input points.
+
+    If more than ``out_capacity`` points are valid, a uniform stride over
+    the valid points is kept (same degradation policy as ``from_numpy``);
+    the pre-truncation valid count is returned so callers can surface the
+    drop, mirroring ``voxel_downsample_counted``'s contract.
+    """
+    capacity = cloud.points.shape[0]
+    if out_capacity is None:
+        out_capacity = capacity
+    # The uniform-selection test below multiplies rank (< capacity) by the
+    # kept count (<= out_capacity) in int32; guard the static shapes so the
+    # product cannot wrap.  Default shapes (raw 65536 -> 16384) give 2^30.
+    if capacity * out_capacity >= 2 ** 31:
+        raise ValueError(
+            f"compact_counted: capacity {capacity} x out_capacity "
+            f"{out_capacity} overflows the int32 uniform-selection "
+            "arithmetic; reduce capacities or add a chunked path")
+    valid = cloud.mask
+    n = jnp.sum(valid.astype(jnp.int32))
+    k = jnp.minimum(n, out_capacity)
+    # rank of each point among the valid ones; select exactly k of the n
+    # valid points, uniformly: rank r is kept iff floor((r+1)k/n) >
+    # floor(rk/n) (telescopes to exactly k kept).
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    nn = jnp.maximum(n, 1)
+    sel = valid & (((rank + 1) * k) // nn > (rank * k) // nn)
+    # stable partition: selected points to the front, original order kept
+    order = jnp.argsort(jnp.where(sel, 0, 1), stable=True)
+    pts = cloud.points[order[:out_capacity]]
+    out_mask = jnp.arange(out_capacity) < k
+    return Cloud(points=jnp.where(out_mask[:, None], pts, 0.0),
+                 mask=out_mask), n
 
 
 def crop_radius_height(cloud: Cloud, min_radius: float, max_radius: float,

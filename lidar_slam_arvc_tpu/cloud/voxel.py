@@ -20,6 +20,18 @@ from lidar_slam_arvc_tpu.cloud.cloud import Cloud
 _BITS_X, _BITS_Y, _BITS_Z = 11, 11, 10
 
 
+def addressable_extent(voxel_size: float) -> tuple[float, float]:
+    """(xy, z) metres addressable by the packed key at this cell size.
+
+    Beyond this the grid clips at the border and merges the far field into
+    border voxels — callers that know their crop bounds (the pipeline does)
+    should reject too-fine grids at trace time rather than corrupt
+    geometry.  Full-resolution clouds must use ``cloud.compact_counted``,
+    never a degenerate fine grid.
+    """
+    return ((2 ** _BITS_X - 1) * voxel_size, (2 ** _BITS_Z - 1) * voxel_size)
+
+
 @functools.partial(jax.jit, static_argnames=("out_capacity",))
 def voxel_downsample_counted(cloud: Cloud, voxel_size: float,
                              out_capacity: int | None = None):

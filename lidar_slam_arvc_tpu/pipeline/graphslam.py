@@ -189,22 +189,28 @@ def _run_graphslam(directory, cfg, progress, compiles):
     # Only the plotted (skip-sampled) poses need marginals: chunked dense
     # back-substitution up to the dense-solver capacity, matrix-free PCG
     # blocks beyond — the artifact is produced at ANY graph size.
+    # Marginals errors PROPAGATE — a broken uncertainty path must fail the
+    # run, not ship a silent artifact gap (round-2 regression pattern).
+    # Only the optional matplotlib rendering is allowed to degrade, and the
+    # degradation is recorded in the profile JSON.
+    uncertainty_error = None
+    skip = max(n // 64, 1)
+    if graph.max_poses <= 1024:
+        covs = graph.marginal_covariances()
+    else:
+        idx = np.arange(0, graph.n_poses, skip)
+        blocks = graph.marginal_covariances(indices=idx)
+        covs = np.zeros((graph.n_poses, 6, 6))
+        covs[idx] = blocks
     try:
         from lidar_slam_arvc_tpu.viz import plot_trajectory_with_uncertainty
-        skip = max(n // 64, 1)
-        if graph.max_poses <= 1024:
-            covs = graph.marginal_covariances()
-        else:
-            idx = np.arange(0, graph.n_poses, skip)
-            blocks = graph.marginal_covariances(indices=idx)
-            covs = np.zeros((graph.n_poses, 6, 6))
-            covs[idx] = blocks
         plot_trajectory_with_uncertainty(
             graph.current_estimate, covs,
             f"{directory}/robot0/SLAM/uncertainty.png", skip=skip)
-    except Exception as exc:  # plotting never fails the solve
+    except (ImportError, OSError) as exc:  # headless plotting only
+        uncertainty_error = f"{type(exc).__name__}: {exc}"
         if progress:
-            print(f"uncertainty plot skipped: {exc}")
+            print(f"uncertainty plot skipped: {uncertainty_error}")
     n_loops = sum(len(g) for g in loop_closures if g)
     seconds = time.time() - t0
 
@@ -221,6 +227,7 @@ def _run_graphslam(directory, cfg, progress, compiles):
         "loop_closures_accepted": int(n_loops),
         "gps_factors": int(len(corr_indexes)),
         "solver": graph.auto_solver(),
+        "uncertainty_error": uncertainty_error,
         "mesh_devices": int(cfg.mesh_devices),
         **compiles.report(),
     }

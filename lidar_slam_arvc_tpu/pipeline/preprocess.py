@@ -36,13 +36,27 @@ def _pre_one(raw_pts, raw_mask, key, cfg: IcpConfig, method: str,
     c = cl.crop_radius_height(c, cfg.min_radius, cfg.max_radius,
                               cfg.min_height, cfg.max_height)
     if voxel_size is not None:
+        # Static guard: the packed 32-bit voxel key addresses
+        # 2048 x 2048 x 1024 cells; the crop bounds the cloud extent, so a
+        # too-fine grid for these bounds is detectable at trace time
+        # instead of silently merging the far field into border voxels.
+        from lidar_slam_arvc_tpu.cloud.voxel import addressable_extent
+        ext_xy, ext_z = addressable_extent(voxel_size)
+        if 2 * cfg.max_radius > ext_xy or (cfg.max_height
+                                           - cfg.min_height) > ext_z:
+            raise ValueError(
+                f"voxel_size={voxel_size} cannot address the cropped "
+                f"extent ({2 * cfg.max_radius:.1f} m xy, "
+                f"{cfg.max_height - cfg.min_height:.1f} m z) within the "
+                f"32-bit key ({ext_xy:.1f} x {ext_z:.1f} m); coarsen the "
+                "voxel size or tighten the crop")
         c, n_vox = cl.voxel_downsample_counted(c, voxel_size,
                                                out_capacity=cfg.capacity)
     else:
-        # compact to the working capacity without merging: degenerate voxel
-        # grid finer than sensor resolution keeps points intact
-        c, n_vox = cl.voxel_downsample_counted(c, 0.01,
-                                               out_capacity=cfg.capacity)
+        # full resolution (reference run_graphSLAM.py:224 loop-closure
+        # regime): compact without merging — output points are a subset of
+        # the input, never voxel centroids
+        c, n_vox = cl.compact_counted(c, out_capacity=cfg.capacity)
 
     # Covariance normals need >= ~8 ball neighbors; on a voxelized cloud
     # that means a radius of a few voxels.  The reference's fixed 0.3 m

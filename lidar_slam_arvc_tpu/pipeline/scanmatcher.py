@@ -511,13 +511,62 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
     scan_times, _, _, df_odo, _ = prepare_experiment_data(
         euroc, start_index, delta_time)
     rel_odo = relative_odometry(df_odo)
+    n = len(scan_times)
 
+    # Multi-controller run (jax.distributed): per-host I/O.  Each process
+    # loads and preprocesses ONLY its contiguous scan block; the global
+    # stack is assembled as a mesh-sharded jax.Array and stage 1 runs the
+    # sharded-stack matcher (the ppermute halo covers shard-boundary pairs,
+    # so no overlap scan is loaded twice).  This is SURVEY §2.3 row 2 as a
+    # pipeline property — the reference's analogue is the in-RAM keyframe
+    # list + manual unload (keyframemanager.py:15,30, run_scanmatcher.py:213).
+    multihost_mode = (jax.process_count() > 1
+                      and method in ("icppointplane", "icppointpoint"))
+    n_loaded_locally = n
     t_load = time.time()
-    points, mask, normals, g, ng, overflow = load_and_preprocess_streamed(
-        euroc, scan_times, cfg, method, voxel_size)
+    if multihost_mode:
+        import dataclasses
+
+        from jax.experimental import multihost_utils
+        from lidar_slam_arvc_tpu.parallel import multihost as mh
+        from lidar_slam_arvc_tpu.parallel.mesh import data_mesh
+        # mid-stage checkpoints are per-process files and would race; the
+        # stage-level CSV durability contract still holds
+        cfg = dataclasses.replace(cfg, mesh_devices=0, shard_scans=True,
+                                  checkpoint_batches=0)
+        mesh = data_mesh()
+        D, B = mesh.size, cfg.batch_size
+        # pad the SCAN LIST with copies of the last scan so the global
+        # stack is an exact (devices x batch) multiple: padding rows form
+        # identity-seeded self-pairs that are computed and discarded
+        K = -(-n // (D * B)) * B
+        n_total = D * K
+        times_padded = np.concatenate(
+            [scan_times, np.repeat(scan_times[-1:], n_total - n)])
+        pc = jax.process_count()
+        bounds = np.linspace(0, n_total, pc + 1).astype(int)
+        lo, hi = int(bounds[jax.process_index()]), \
+            int(bounds[jax.process_index() + 1])
+        n_loaded_locally = hi - lo
+        pts_l, mask_l, normals_l, _, _, ovf_l = load_and_preprocess_streamed(
+            euroc, times_padded[lo:hi], cfg, method, voxel_size)
+        glob = mh.assemble_global_scans(
+            mesh, {"points": np.asarray(pts_l), "mask": np.asarray(mask_l),
+                   "normals": np.asarray(normals_l)}, n_total)
+        points, mask, normals = (glob["points"], glob["mask"],
+                                 glob["normals"])
+        g = ng = None
+        overflow = multihost_utils.process_allgather(
+            np.asarray(ovf_l), tiled=True)[:n]
+        rel_odo = np.concatenate(
+            [rel_odo, np.tile(np.eye(4), (n_total - n, 1, 1))])
+    else:
+        points, mask, normals, g, ng, overflow = load_and_preprocess_streamed(
+            euroc, scan_times, cfg, method, voxel_size)
     preprocess_seconds = time.time() - t_load
     if progress:
-        print(f"loaded+preprocessed {len(scan_times)} scans "
+        print(f"loaded+preprocessed {n_loaded_locally} scans "
+              f"{'locally ' if multihost_mode else ''}"
               f"in {preprocess_seconds:.2f}s")
 
     t_icp = time.time()
@@ -532,7 +581,7 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
                                ground_mask=g, nonground_mask=ng,
                                progress=progress,
                                checkpoint_path=ck_path,
-                               checkpoint_key=ck_key)
+                               checkpoint_key=ck_key)[: n - 1]
     icp_seconds = time.time() - t_icp
     # stage complete: remove the mid-stage checkpoint
     if ck_path is not None:
@@ -546,13 +595,6 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
     T_global[0] = np.eye(4)
     for i, Tij in enumerate(rel_sm):
         T_global[i + 1] = T_global[i] @ Tij
-
-    euroc.save_sensor_times_as_csv(
-        scan_times, "/robot0/scanmatcher/lidar_times.csv")
-    euroc.save_transforms_as_csv(
-        scan_times, rel_sm, "/robot0/scanmatcher/scanmatcher_relative.csv")
-    euroc.save_transforms_as_csv(
-        scan_times, T_global, "/robot0/scanmatcher/scanmatcher_global.csv")
 
     # per-stage profile artifact (utils/profiling.py; SURVEY.md §5)
     import json
@@ -568,13 +610,25 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
         "voxels_dropped_total": int(overflow.sum()),
         "mesh_devices": int(cfg.mesh_devices),
         "shard_scans": bool(cfg.shard_scans),
+        "process_count": int(jax.process_count()),
+        "scans_loaded_locally": int(n_loaded_locally),
         # distinct-program accounting (compile regressions are the dominant
         # one-time cost through remote-execution tunnels)
         **compiles.report(),
     }
-    os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
-    with open(f"{directory}/robot0/viz/scanmatcher_profile.json", "w") as f:
-        json.dump(profile, f, indent=2)
+    # multi-controller runs share the dataset directory: one writer
+    if jax.process_index() == 0:
+        euroc.save_sensor_times_as_csv(
+            scan_times, "/robot0/scanmatcher/lidar_times.csv")
+        euroc.save_transforms_as_csv(
+            scan_times, rel_sm, "/robot0/scanmatcher/scanmatcher_relative.csv")
+        euroc.save_transforms_as_csv(
+            scan_times, T_global, "/robot0/scanmatcher/scanmatcher_global.csv")
+        os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
+        with open(f"{directory}/robot0/viz/scanmatcher_profile.json",
+                  "w") as f:
+            json.dump(profile, f, indent=2)
     return {"scan_times": scan_times, "relative": rel_sm,
             "global": T_global, "icp_seconds": icp_seconds,
+            "scans_loaded_locally": int(n_loaded_locally),
             "frames_per_second": profile["frames_per_second"]}

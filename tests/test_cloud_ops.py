@@ -240,6 +240,88 @@ class TestVoxelDownsample:
             np.sort(cl.to_numpy(out)[:, 0]), pts[:, 0], atol=1e-5)
 
 
+class TestCompact:
+    """Full-resolution (voxel None) path: compaction must NEVER fabricate
+    geometry.  Round-3 verdict repro: a 35 m-radius scan routed through a
+    degenerate 0.01 m voxel grid produced output points up to 4.2 m from
+    any input point (the 32-bit key clips at ~20 m).  The compaction path
+    has no spatial key, so the property holds at any extent."""
+
+    @staticmethod
+    def _subset_err(out_pts, in_pts):
+        tree = cKDTree(in_pts)
+        d, _ = tree.query(out_pts)
+        return d.max()
+
+    def test_35m_scan_points_are_subset(self, rng):
+        # the crop bound regime (keyframe.py:74-94 semantics, max_radius 35)
+        pts = rng.uniform(-35, 35, size=(4000, 3)).astype(np.float32)
+        c = cl.from_numpy(pts, capacity=4096)
+        out, n = cl.compact_counted(c, out_capacity=4096)
+        assert int(n) == 4000
+        assert int(cl.num_valid(out)) == 4000          # count preserved
+        got = cl.to_numpy(out)
+        assert self._subset_err(got, pts) == 0.0       # exact subset
+
+    def test_preprocess_full_resolution_subset(self, rng):
+        # the real pipeline route: preprocess_batch with voxel_size=None
+        from lidar_slam_arvc_tpu.pipeline.preprocess import preprocess_batch
+        from lidar_slam_arvc_tpu.utils.config import IcpConfig
+        cfg = IcpConfig(raw_capacity=4096, capacity=4096)
+        pts = rng.uniform(-30, 30, size=(1, 4000, 3)).astype(np.float32)
+        pts[..., 2] = np.abs(pts[..., 2]) * 0.5        # above min_height
+        mask = np.zeros((1, 4096), dtype=bool)
+        mask[:, :4000] = True
+        buf = np.zeros((1, 4096, 3), dtype=np.float32)
+        buf[:, :4000] = pts
+        keys = jax.random.split(jax.random.PRNGKey(0), 1)
+        out = preprocess_batch(jnp.asarray(buf), jnp.asarray(mask), keys,
+                               cfg, "icppointpoint", None)
+        got = np.asarray(out.points[0])[np.asarray(out.mask[0])]
+        assert got.shape[0] > 3000                      # crop only
+        assert self._subset_err(got, pts[0]) == 0.0
+
+    def test_truncation_uniform_and_counted(self, rng):
+        pts = rng.normal(size=(1000, 3)).astype(np.float32) * 40
+        c = cl.from_numpy(pts, capacity=1024)
+        out, n = cl.compact_counted(c, out_capacity=256)
+        assert int(n) == 1000                           # true count surfaced
+        assert int(cl.num_valid(out)) == 256            # exactly capacity
+        got = cl.to_numpy(out)
+        assert self._subset_err(got, pts) == 0.0
+        # uniform stride in index space: consecutive kept input indices are
+        # ~n/k apart (no prefix-keep, no dropped tail)
+        tree = cKDTree(pts)
+        d, idx = tree.query(got)
+        assert d.max() == 0.0
+        gaps = np.diff(np.sort(idx))
+        assert gaps.max() <= int(np.ceil(1000 / 256)) + 1
+
+    def test_order_preserved(self, rng):
+        # compaction keeps the original relative order of valid points
+        pts = np.arange(30, dtype=np.float32)[:, None] * [1.0, 0.0, 0.0]
+        mask = np.zeros(32, dtype=bool)
+        mask[:30] = np.arange(30) % 3 != 0              # drop every 3rd
+        buf = np.zeros((32, 3), dtype=np.float32)
+        buf[:30] = pts
+        c = cl.Cloud(jnp.asarray(buf), jnp.asarray(mask))
+        out, n = cl.compact_counted(c)
+        got = cl.to_numpy(out)
+        assert int(n) == int(mask.sum())
+        np.testing.assert_array_equal(got[:, 0], pts[mask[:30], 0])
+
+    def test_voxel_extent_guard_raises(self):
+        # a grid too fine for the crop bounds is rejected at trace time
+        from lidar_slam_arvc_tpu.pipeline.preprocess import preprocess_batch
+        from lidar_slam_arvc_tpu.utils.config import IcpConfig
+        cfg = IcpConfig(raw_capacity=64, capacity=64)   # max_radius 35
+        pts = jnp.zeros((1, 64, 3))
+        mask = jnp.ones((1, 64), dtype=bool)
+        keys = jax.random.split(jax.random.PRNGKey(0), 1)
+        with pytest.raises(ValueError, match="cannot address"):
+            preprocess_batch(pts, mask, keys, cfg, "icppointpoint", 0.01)
+
+
 class TestNormals:
     def test_plane_normals(self, rng):
         # noisy ground plane -> normals ~ +-z

@@ -133,7 +133,21 @@ class TestGraphSLAM:
         assert prof["optimizations"] >= 1
         assert prof["loop_closing_rounds"] >= 1
         assert prof["solver"] == "dense"
+        assert prof["uncertainty_error"] is None
         assert prof["programs_compiled"] >= 1
+
+    def test_broken_marginals_fails_the_run(self, scanmatcher_result,
+                                            monkeypatch):
+        """A broken marginals path must raise, not ship silently (the
+        round-2 regression pattern): only plotting import/IO may degrade."""
+        from lidar_slam_arvc_tpu.graph import PoseGraph
+        d, info, out_sm = scanmatcher_result
+
+        def boom(self, indices=None):
+            raise RuntimeError("marginals backend broken")
+        monkeypatch.setattr(PoseGraph, "marginal_covariances", boom)
+        with pytest.raises(RuntimeError, match="marginals backend broken"):
+            run_graphslam(d, cfg=CFG, progress=False)
 
 
 class TestCLI:
@@ -414,6 +428,21 @@ def test_pipeline_at_default_capacities(tmp_path):
         prof = json.load(f)
     # 50k-point scans at voxel None exceed capacity 16384: accounted
     assert prof["scans_over_capacity"] == 10
+    # full-resolution preprocessing must never fabricate geometry (round-3
+    # verdict: the old degenerate-voxel-grid route merged the >20m field
+    # into border voxels): every preprocessed point IS an input point
+    from scipy.spatial import cKDTree
+    from lidar_slam_arvc_tpu.io import EurocDataset, read_pcd
+    from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
+        load_and_preprocess_streamed)
+    euroc = EurocDataset(d)
+    t0s = np.asarray(info["times"])[:1]
+    pts_pre, mask_pre, *_ = load_and_preprocess_streamed(
+        euroc, t0s, cfg, "icppointpoint", None)
+    raw = read_pcd(euroc.scan_pcd_path(t0s[0]))
+    got = np.asarray(pts_pre[0])[np.asarray(mask_pre[0])]
+    d_sub, _ = cKDTree(np.asarray(raw, dtype=np.float32)).query(got)
+    assert d_sub.max() == 0.0, f"fabricated geometry: max {d_sub.max()} m"
     out_g = run_graphslam(d, cfg=cfg, progress=False)
     err = ate(np.asarray(out_g["solution"]), info["T_gt"])["rmse"]
     err_sm = ate(out_sm["global"], info["T_gt"])["rmse"]
