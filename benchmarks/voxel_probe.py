@@ -43,14 +43,23 @@ raw_pts = jnp.stack([c.points for c in stacked])
 raw_mask = jnp.stack([c.mask for c in stacked])
 
 
+def _sync(out):
+    # completion barrier via a SCALAR host fetch: transferring the full
+    # result through the tunnel costs ~25 ms per 16.8 MB and swamped the
+    # first version of this probe; a 1-element fetch still depends on the
+    # whole computation (remote execution completes before serving it)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timeit(fn, label):
     out = fn()
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    _sync(out)
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = fn()
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     print(f"{label}: {best*1e3:.2f} ms for {N_SCANS} scans "
           f"({best*1e3/N_SCANS:.3f} ms/scan)", flush=True)

@@ -32,6 +32,55 @@ def addressable_extent(voxel_size: float) -> tuple[float, float]:
     return ((2 ** _BITS_X - 1) * voxel_size, (2 ** _BITS_Z - 1) * voxel_size)
 
 
+def _segment_sums_sorted(key_s, vals, valid_s, out_capacity: int):
+    """Per-voxel (sums, counts, n_voxels) from KEY-SORTED per-point values.
+
+    TPU-native combine with NO scatter and NO gather: XLA lowers scatter-add
+    with potentially-colliding indices to a serialized update loop, and
+    random-index gathers cost ~0.6 ms/scan at capacity 16384 (measured,
+    benchmarks/voxel_probe.py).  Instead:
+
+      1. run starts from key changes (first), n_voxels = sum(first),
+      2. REVERSE segmented scan (log2 N shifted masked adds, pure VPU)
+         accumulates each run's total at its START row — exact f32, sums
+         never cross run boundaries,
+      3. a second payload sort with key (first ? position : MAX) compacts
+         the run-start rows to the front IN KEY ORDER (run starts appear
+         in ascending key order, and position order preserves that).
+
+    ``vals`` is (N, C) with invalid rows already zeroed; counts come from a
+    ones column.  Returns ((out_capacity, C) sums, (out_capacity,) counts,
+    n_voxels-before-truncation).
+    """
+    n = key_s.shape[0]
+    first = jnp.concatenate(
+        [valid_s[:1], key_s[1:] != key_s[:-1]]) & valid_s
+    n_voxels = jnp.sum(first.astype(jnp.int32))
+
+    # reverse segmented scan: x[i] += x[i+d] while the run id matches.
+    # Invalid rows share the preceding run's id but carry zeroed vals, so
+    # they extend the run without changing its total.
+    seg = jnp.cumsum(first.astype(jnp.int32))
+    d = 1
+    while d < n:
+        same = seg[:-d] == seg[d:]
+        vals = vals.at[:-d].add(jnp.where(same[:, None], vals[d:], 0.0))
+        d *= 2
+
+    # stable compaction of run starts via a second payload sort
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key2 = jnp.where(first, pos, jnp.int32(2 ** 31 - 1))
+    sorted_cols = jax.lax.sort(
+        (key2,) + tuple(vals[:, c] for c in range(vals.shape[1])),
+        num_keys=1)
+    out = jnp.stack(sorted_cols[1:], axis=1)[:out_capacity]
+    if out_capacity > n:          # more slots than input rows: zero-pad
+        out = jnp.pad(out, ((0, out_capacity - n), (0, 0)))
+    live = jnp.arange(out_capacity) < jnp.minimum(n_voxels, out_capacity)
+    out = jnp.where(live[:, None], out, 0.0)
+    return out[:, :-1], out[:, -1], n_voxels
+
+
 @functools.partial(jax.jit, static_argnames=("out_capacity",))
 def voxel_downsample_counted(cloud: Cloud, voxel_size: float,
                              out_capacity: int | None = None):
@@ -70,23 +119,19 @@ def voxel_downsample_counted(cloud: Cloud, voxel_size: float,
     # invalid points get the max key so they sort to the end
     key = jnp.where(valid, key, jnp.int32(2 ** 31 - 1))
 
-    order = jnp.argsort(key)
-    key_s = key[order]
-    pts_s = pts[order]
-    valid_s = valid[order]
+    # one variadic sort carries the coordinates as payload: measured no
+    # slower than argsort alone on TPU, and saves the three post-sort
+    # gathers (benchmarks/voxel_probe.py)
+    valid_f = valid.astype(pts.dtype)
+    key_s, x_s, y_s, z_s, valid_sf = jax.lax.sort(
+        (key, pts[:, 0] * valid_f, pts[:, 1] * valid_f,
+         pts[:, 2] * valid_f, valid_f), num_keys=1)
+    valid_s = valid_sf > 0.5
 
-    first = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), key_s[1:] != key_s[:-1]]) & valid_s
-    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
-    n_voxels = jnp.max(jnp.where(valid_s, slot + 1, 0))
-
-    # scatter into out_capacity+1 rows; invalid/overflow land in the last row
-    slot = jnp.where(valid_s & (slot < out_capacity), slot, out_capacity)
-    sums = jnp.zeros((out_capacity + 1, 3), dtype=pts.dtype).at[slot].add(pts_s)
-    counts = jnp.zeros(out_capacity + 1, dtype=pts.dtype).at[slot].add(1.0)
-
-    counts_out = counts[:out_capacity]
-    centroids = sums[:out_capacity] / jnp.maximum(counts_out[:, None], 1.0)
+    vals = jnp.stack([x_s, y_s, z_s, valid_sf], axis=1)   # zeros if invalid
+    sums, counts, n_voxels = _segment_sums_sorted(key_s, vals, valid_s,
+                                                  out_capacity)
+    centroids = sums / jnp.maximum(counts[:, None], 1.0)
     out_mask = jnp.arange(out_capacity) < jnp.minimum(n_voxels, out_capacity)
     return Cloud(points=jnp.where(out_mask[:, None], centroids, 0.0),
                  mask=out_mask), n_voxels
