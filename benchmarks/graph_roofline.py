@@ -127,34 +127,44 @@ def breakdown(poses, factors, n_active):
 
     H0, b0 = _assemble(poses, factors, n_active)
     lam = jnp.float32(1e-6)
-    eyeM = jnp.eye(H0.shape[0], dtype=H0.dtype)
 
-    def chain(fn, x0):
-        """REPS dependent applications of fn inside one program."""
+    def chain(fn, x0, *consts):
+        """REPS dependent applications of fn inside one program.
+
+        Large arrays MUST be passed as arguments (consts), not closed
+        over: a closed-over concrete jax.Array becomes a program literal
+        and a (6N)^2 H matrix blows the remote-compile request size.
+        """
         @jax.jit
-        def run(x):
+        def run(x, *cs):
             def body(_, c):
-                return fn(c)
-            return jax.lax.fori_loop(0, REPS, body, x0)
-        out = run(x0)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+                return fn(c, *cs)
+            return jax.lax.fori_loop(0, REPS, body, x)
+        out = run(x0, *consts)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         t0 = time.time()
-        out = run(x0)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        out = run(x0, *consts)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         return (time.time() - t0) / REPS * 1e3
 
     # each piece perturbed by its own output so the loop carries a data dep
-    t_asm = chain(lambda c: _assemble(
-        poses + 1e-12 * c[1][0], factors, n_active)[0:2], (H0, b0))
-    t_chol = chain(lambda c: (jax.scipy.linalg.cho_factor(
-        H0 + lam * jnp.diag(jnp.diag(H0)) + 1e-9 * eyeM
-        + 1e-12 * c[0][0, 0] * eyeM, lower=True)),
-        jax.scipy.linalg.cho_factor(H0 + 1e-9 * eyeM, lower=True))
-    t_cost = chain(lambda c: (graph_cost(poses + 1e-12 * c, factors)
-                              * jnp.ones_like(poses)), poses)
-    t_full = chain(lambda c: _lm_step(poses + 1e-12 * c[0], factors,
-                                      n_active, lam), (poses,
-                                                       jnp.float32(0.0)))
+    t_asm = chain(lambda c, p: _assemble(p + 1e-12 * c[1][0], factors,
+                                         n_active)[0:2], (H0, b0), poses)
+
+    def chol_piece(c, H):
+        eyeM = jnp.eye(H.shape[0], dtype=H.dtype)
+        damped = (H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * eyeM
+                  + 1e-12 * c[0][0, 0] * eyeM)
+        return jax.scipy.linalg.cho_factor(damped, lower=True)
+    F0 = jax.scipy.linalg.cho_factor(
+        H0 + 1e-9 * jnp.eye(H0.shape[0], dtype=H0.dtype), lower=True)
+    t_chol = chain(chol_piece, F0, H0)
+
+    t_cost = chain(lambda c, p: (graph_cost(p + 1e-12 * c, factors)
+                                 * jnp.ones_like(p)), poses, poses)
+    t_full = chain(lambda c, p: _lm_step(p + 1e-12 * c[0], factors,
+                                         n_active, lam),
+                   (poses, jnp.float32(0.0)), poses)
     M = poses.shape[0] * 6
     print(json.dumps({
         "solver": "breakdown", "n_poses": N_POSES, "reps": REPS,

@@ -114,7 +114,14 @@ class PoseGraph:
 
     def auto_solver(self) -> str:
         """The solver optimize(solver='auto') will pick — single source of
-        truth, also reported in the stage-2 profile artifact."""
+        truth, also reported in the stage-2 profile artifact.
+
+        The dense<->PCG threshold is MEASURED, not guessed (TPU v5e, r4,
+        benchmarks/graph_roofline.py): per LM step dense/PCG = 15.0/20.1 ms
+        at 1024-pose capacity but 85.8/40.2 ms at 2048 — the dense
+        Cholesky's O(N^3) crosses the PCG edge-sweep's O(E) between those
+        power-of-two capacities, so 1024 is the last dense size.
+        """
         if (self.mesh is not None and self.mesh.size > 1
                 and self.max_poses % self.mesh.size == 0
                 and self.max_poses >= 2 * self.mesh.size):

@@ -105,16 +105,48 @@ def _block_indices(idx: jax.Array):
     return idx[:, None] * 6 + jnp.arange(6, dtype=idx.dtype)[None, :]
 
 
-def _assemble_between(poses: jax.Array, bt_i, bt_j, bt_T, bt_winv):
-    """Dense (6N,6N)/(6N,) contributions of a set of between factors.
+def _onehot(idx: jax.Array, n: int, dtype) -> jax.Array:
+    """(P, E) selection matrix: out[p, e] = 1 iff idx[e] == p.
 
-    Factored out so the distributed solver (parallel/dist_solver.py) can run
-    it per edge-shard inside shard_map and psum the partials.
+    Block-DIAGONAL accumulations ride the MXU as one-hot matmuls instead
+    of colliding-index scatter-adds (which XLA serializes).  Exact in f32:
+    each output element is a sum of selected addends (no scaling), done at
+    Precision.HIGHEST.
+    """
+    return (idx[None, :] == jnp.arange(n, dtype=idx.dtype)[:, None]).astype(dtype)
+
+
+def _expand_block_diag(D: jax.Array) -> jax.Array:
+    """(N, 6, 6) diagonal blocks -> dense (6N, 6N) with NO scatter.
+
+    Layout is everything here (benchmarks/assemble_probe.py, 1024 poses):
+    any intermediate whose minor dimension is 6 wastes 6/128 of every
+    vector-register lane tile — the (N,6,N,6)-shaped broadcast-vs-eye
+    expansion measured 15 ms and an (N,N,6,6) transpose 20+ ms.  This
+    version works at (6N, 6N) the whole way: `tile` repeats the (6N, 6)
+    row blocks across the full row (wide contiguous writes), and a fused
+    iota mask zeroes everything off the block diagonal — one elementwise
+    pass over the output in its native tiling.
+    """
+    N = D.shape[0]
+    M = N * 6
+    tiled = jnp.tile(D.reshape(M, 6), (1, N))        # row r = D[r//6, r%6, :]
+    rb = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // 6
+    cb = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // 6
+    return jnp.where(rb == cb, tiled, 0.0)
+
+
+def _between_parts(poses: jax.Array, bt_i, bt_j, bt_T, bt_winv):
+    """Between-factor contributions in block form: (D (N,6,6) diagonal
+    blocks, b2 (N,6) gradient blocks, Hij (E,6,6) off-diagonal blocks).
+
+    TPU formulation (variant costs measured in benchmarks/assemble_probe.py
+    at 1024 poses): block-DIAGONAL mass and the gradient accumulate via
+    one-hot matmuls on the MXU — no colliding scatter; only the strictly
+    OFF-diagonal (i, j) blocks ever go through a scatter (_add_offdiag).
     """
     from lidar_slam_arvc_tpu.graph.factors import FactorData
-    N6 = poses.shape[0] * 6
-    H = jnp.zeros((N6, N6), dtype=poses.dtype)
-    b = jnp.zeros((N6,), dtype=poses.dtype)
+    N = poses.shape[0]
     f = FactorData(bt_i=bt_i, bt_j=bt_j, bt_T=bt_T, bt_winv=bt_winv,
                    gps_i=None, gps_z=None, gps_winv=None,
                    pr_i=None, pr_T=None, pr_winv=None)
@@ -128,22 +160,48 @@ def _assemble_between(poses: jax.Array, bt_i, bt_j, bt_T, bt_winv):
     bi = jnp.einsum("eab,eb->ea", AtW, r, precision=_HI)
     bj = jnp.einsum("eab,eb->ea", BtW, r, precision=_HI)
 
+    oi = _onehot(bt_i, N, poses.dtype)              # (N, E)
+    oj = _onehot(bt_j, N, poses.dtype)
+    E = bt_i.shape[0]
+    # block diagonal + gradient: MXU matmuls, scatter-free
+    D = (jnp.matmul(oi, Hii.reshape(E, 36), precision=_HI)
+         + jnp.matmul(oj, Hjj.reshape(E, 36), precision=_HI)).reshape(N, 6, 6)
+    b2 = jnp.matmul(oi, bi, precision=_HI) \
+        + jnp.matmul(oj, bj, precision=_HI)         # (N, 6)
+    return D, b2, Hij
+
+
+def _add_offdiag(H, bt_i, bt_j, Hij):
+    """Scatter the strictly off-diagonal (i, j)/(j, i) blocks into dense H
+    — the fastest of the scatter formulations measured
+    (benchmarks/assemble_probe.py; the (N,N,6,6) window-scatter +
+    transpose alternative costs several times more in the relayout)."""
     ri = _block_indices(bt_i)
     rj = _block_indices(bt_j)
-    H = H.at[ri[:, :, None], ri[:, None, :]].add(Hii)
     H = H.at[ri[:, :, None], rj[:, None, :]].add(Hij)
-    H = H.at[rj[:, :, None], ri[:, None, :]].add(jnp.swapaxes(Hij, -1, -2))
-    H = H.at[rj[:, :, None], rj[:, None, :]].add(Hjj)
-    b = b.at[ri].add(bi)
-    b = b.at[rj].add(bj)
-    return H, b
+    return H.at[rj[:, :, None], ri[:, None, :]].add(
+        jnp.swapaxes(Hij, -1, -2))
 
 
-def _assemble_unary(poses: jax.Array, factors: FactorData, n_active):
-    """GPS + prior contributions and the inactive-pose diagonal."""
-    N6 = poses.shape[0] * 6
-    H = jnp.zeros((N6, N6), dtype=poses.dtype)
-    b = jnp.zeros((N6,), dtype=poses.dtype)
+def _assemble_between(poses: jax.Array, bt_i, bt_j, bt_T, bt_winv):
+    """Dense (6N,6N)/(6N,) contributions of a set of between factors.
+
+    Kept as a standalone entry point so the distributed solver
+    (parallel/dist_solver.py) can run it per edge-shard inside shard_map
+    and psum the partials; the fused single-device path uses
+    _between_parts directly so the block-diagonal expansion happens once.
+    """
+    D, b2, Hij = _between_parts(poses, bt_i, bt_j, bt_T, bt_winv)
+    H = _add_offdiag(_expand_block_diag(D), bt_i, bt_j, Hij)
+    return H, b2.reshape(-1)
+
+
+def _unary_parts(poses: jax.Array, factors: FactorData, n_active):
+    """GPS + prior contributions and the inactive-pose diagonal, in block
+    form (D (N,6,6), b2 (N,6)).  All unary mass is block-DIAGONAL:
+    accumulated with one-hot matmuls (see _onehot — no colliding scatter).
+    """
+    N = poses.shape[0]
 
     # --- gps factors ---
     rg, Jg = _gps_residuals(poses, factors)
@@ -151,9 +209,7 @@ def _assemble_unary(poses: jax.Array, factors: FactorData, n_active):
     JtW = jnp.swapaxes(Jg, -1, -2) * wg2[:, None, :]
     Hg = jnp.einsum("eab,ebc->eac", JtW, Jg, precision=_HI)
     bg = jnp.einsum("eab,eb->ea", JtW, rg, precision=_HI)
-    rgi = _block_indices(factors.gps_i)
-    H = H.at[rgi[:, :, None], rgi[:, None, :]].add(Hg)
-    b = b.at[rgi].add(bg)
+    og = _onehot(factors.gps_i, N, poses.dtype)
 
     # --- priors ---
     rp, Jp = _prior_residuals(poses, factors)
@@ -161,36 +217,61 @@ def _assemble_unary(poses: jax.Array, factors: FactorData, n_active):
     JtWp = jnp.swapaxes(Jp, -1, -2) * wp2[:, None, :]
     Hp = jnp.einsum("eab,ebc->eac", JtWp, Jp, precision=_HI)
     bp = jnp.einsum("eab,eb->ea", JtWp, rp, precision=_HI)
-    rpi = _block_indices(factors.pr_i)
-    H = H.at[rpi[:, :, None], rpi[:, None, :]].add(Hp)
-    b = b.at[rpi].add(bp)
+    op = _onehot(factors.pr_i, N, poses.dtype)
+
+    D = jnp.einsum("pe,eab->pab", og, Hg, precision=_HI) \
+        + jnp.einsum("pe,eab->pab", op, Hp, precision=_HI)    # (N, 6, 6)
+    b2 = jnp.einsum("pe,ea->pa", og, bg, precision=_HI) \
+        + jnp.einsum("pe,ea->pa", op, bp, precision=_HI)      # (N, 6)
 
     # inactive poses (index >= n_active) get identity diagonal so the dense
     # solve stays non-singular; their (zeroed) gradient keeps them fixed.
-    diag_idx = jnp.arange(N6)
-    inactive = (diag_idx // 6) >= n_active
-    H = H + jnp.diag(inactive.astype(poses.dtype))
-    b = jnp.where(inactive, 0.0, b)
-    return H, b
+    inactive = jnp.arange(N) >= n_active
+    D = D + jnp.where(inactive[:, None, None],
+                      jnp.eye(6, dtype=poses.dtype)[None], 0.0)
+    b2 = jnp.where(inactive[:, None], 0.0, b2)
+    return D, b2
+
+
+def _assemble_unary(poses: jax.Array, factors: FactorData, n_active):
+    """Dense (6N,6N)/(6N,) unary contributions (dist_solver entry point)."""
+    D, b2 = _unary_parts(poses, factors, n_active)
+    return _expand_block_diag(D), b2.reshape(-1)
 
 
 @jax.jit
 def _assemble(poses: jax.Array, factors: FactorData, n_active: jax.Array):
-    """Dense H (6N,6N) and gradient b (6N,) by scatter-add of factor blocks."""
-    Hb, bb = _assemble_between(poses, factors.bt_i, factors.bt_j,
-                               factors.bt_T, factors.bt_winv)
-    Hu, bu = _assemble_unary(poses, factors, n_active)
-    return Hb + Hu, bb + bu
+    """Dense H (6N,6N) and gradient b (6N,).
+
+    All block-diagonal mass (between Hii/Hjj, GPS, priors, inactive
+    padding) accumulates in (N,6,6) form and expands to dense ONCE
+    (_expand_block_diag); only the off-diagonal between blocks scatter.
+    """
+    Db, bb, Hij = _between_parts(poses, factors.bt_i, factors.bt_j,
+                                 factors.bt_T, factors.bt_winv)
+    Du, bu = _unary_parts(poses, factors, n_active)
+    H = _expand_block_diag(Db + Du)
+    H = _add_offdiag(H, factors.bt_i, factors.bt_j, Hij)
+    return H, (bb + bu).reshape(-1)
 
 
 @jax.jit
 def _lm_step(poses, factors, n_active, lam):
     """One damped step: returns (new_poses, new_cost)."""
     H, b = _assemble(poses, factors, n_active)
-    # Levenberg damping scaled by the diagonal (Marquardt form)
-    damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype)
-    delta = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(damped, lower=True), -b)
+    # Levenberg damping scaled by the diagonal (Marquardt form); written as
+    # a unique-index diagonal scatter — jnp.diag(jnp.diag(H)) + eye would
+    # materialize two extra (6N,6N) passes
+    di = jnp.arange(H.shape[0])
+    damped = H.at[di, di].add(lam * jnp.diagonal(H) + 1e-9,
+                              unique_indices=True)
+    # Jacobi equilibration before the f32 Cholesky (see
+    # marginal_covariances): rotation vs weak-prior rows put cond(H) at
+    # ~1e8, and S H S solves several digits more accurately
+    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(damped), 1e-30))
+    damped = damped * s[:, None] * s[None, :]
+    delta = s * jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(damped, lower=True), -(b * s))
     delta = delta.reshape(-1, 6)
     # freeze inactive poses explicitly
     active = (jnp.arange(poses.shape[0]) < n_active)[:, None]
@@ -223,7 +304,13 @@ def marginal_covariances(poses: jax.Array, factors: FactorData,
         raise ValueError(f"pose capacity {n} not divisible by chunk {chunk}")
     H, _ = _assemble(poses, factors, jnp.asarray(n_active, dtype=jnp.int32))
     H = H + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype)
-    F = jax.scipy.linalg.cho_factor(H, lower=True)
+    # Jacobi equilibration: the SLAM information matrix mixes rotation rows
+    # (winv^2 ~ 1e6) with weak-prior rows (~1e-2), cond(H) ~ 1e8 — at f32
+    # that costs the solve several digits.  Factor S H S (cond ~ that of
+    # the correlation matrix) and unscale: H^-1 = S (S H S)^-1 S.
+    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
+    Hs = H * s[:, None] * s[None, :]
+    F = jax.scipy.linalg.cho_factor(Hs, lower=True)
     N6 = H.shape[0]
     C6 = 6 * chunk
 
@@ -231,7 +318,8 @@ def marginal_covariances(poses: jax.Array, factors: FactorData,
         cols = ci * C6 + jnp.arange(C6)
         rhs = jnp.zeros((N6, C6), dtype=H.dtype).at[
             cols, jnp.arange(C6)].set(1.0)
-        X = jax.scipy.linalg.cho_solve(F, rhs)     # (6N, 6*chunk)
+        X = jax.scipy.linalg.cho_solve(F, rhs * s[cols][None, :])
+        X = X * s[:, None]                          # unscale rows
         Xr = X.reshape(n, 6, chunk, 6)
         k = jnp.arange(chunk)
         return Xr[ci * chunk + k, :, k, :]          # (chunk, 6, 6)

@@ -286,18 +286,31 @@ class TestMarginals:
         return g
 
     def test_pcg_blocks_match_dense_chunked(self):
-        # the matrix-free per-index path (used by the uncertainty artifact
-        # beyond the dense capacity) must agree with the dense chunked
-        # back-substitution on the same loop-closed graph
+        # Both marginal paths (dense chunked back-substitution and the
+        # matrix-free per-index PCG) are compared against a float64
+        # inverse of the SAME assembled information matrix.  cond(H) is
+        # ~5e8 on this graph (SM rotation weights 1e6 vs weak priors), so
+        # each f32 path carries a ~3% error floor — asserting the two
+        # paths against EACH OTHER at a tighter tolerance than that floor
+        # just tests that their rounding errors correlate (it broke on a
+        # numerically-equivalent assembly reorder in r4).
+        import jax.numpy as jnp
+        from lidar_slam_arvc_tpu.graph.solver import _assemble
         g = self._loopy_graph()
+        H, _ = _assemble(jnp.asarray(g.poses), g._factor_data(),
+                         jnp.int32(g.n_poses))
+        H64 = np.asarray(H, dtype=np.float64) + 1e-9 * np.eye(H.shape[0])
+        Cov64 = np.linalg.inv(H64)
         cov_dense = g.marginal_covariances()
         idx = np.array([0, 3, 10, 19])
         cov_pcg = g.marginal_covariances(indices=idx)
         for k, i in enumerate(idx):
-            d = np.sqrt(np.outer(np.diag(cov_dense[i]),
-                                 np.diag(cov_dense[i])))
-            np.testing.assert_allclose(cov_pcg[k] / d, cov_dense[i] / d,
-                                       rtol=2e-2, atol=2e-2)
+            truth = Cov64[6 * i: 6 * i + 6, 6 * i: 6 * i + 6]
+            d = np.sqrt(np.outer(np.diag(truth), np.diag(truth)))
+            np.testing.assert_allclose(cov_dense[i] / d, truth / d,
+                                       rtol=5e-2, atol=5e-2)
+            np.testing.assert_allclose(cov_pcg[k] / d, truth / d,
+                                       rtol=5e-2, atol=5e-2)
 
     def test_pcg_blocks_at_large_capacity(self):
         # beyond the dense regime nothing materializes H: blocks stay
