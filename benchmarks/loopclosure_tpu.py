@@ -94,8 +94,25 @@ def main():
     with open(f"{d}/robot0/viz/scanmatcher_profile.json") as f:
         prof_sm = json.load(f)
 
+    # CONTROL: the same stage 2 with loop closing off isolates what the
+    # closures buy — the graph also fuses the (drifty) odometry edges at
+    # the reference's equal SM/ODO xyz sigmas (graphSLAM.py:17,21), so
+    # comparing against the scanmatcher ATE alone conflates the two.
+    import yaml
+    ypath = f"{d}/robot0/slam_parameters.yaml"
+    with open(ypath) as fy:
+        slam_params = yaml.safe_load(fy)
+    slam_params["perform_loop_closing"] = False
+    with open(ypath, "w") as fy:
+        yaml.safe_dump(slam_params, fy)
+    out_nl = run_graphslam(d, cfg=cfg, progress=False)
+    slam_params["perform_loop_closing"] = True
+    with open(ypath, "w") as fy:
+        yaml.safe_dump(slam_params, fy)
+
     e_sm = ate(out_sm["global"], T_gt)["rmse"]
     e_slam = ate(np.asarray(out_g["solution"]), T_gt)["rmse"]
+    e_noloop = ate(np.asarray(out_nl["solution"]), T_gt)["rmse"]
     print(json.dumps({
         "metric": "loopclosure_reference_scale",
         "scans": N_SCANS, "scan_points": SCAN_POINTS,
@@ -112,6 +129,7 @@ def main():
         "scans_over_capacity": prof_sm["scans_over_capacity"],
         "ate_scanmatcher_mm": round(e_sm * 1e3, 1),
         "ate_graphslam_mm": round(e_slam * 1e3, 1),
+        "ate_graphslam_noloops_mm": round(e_noloop * 1e3, 1),
         "programs_compiled": counter.count,
     }), flush=True)
 
