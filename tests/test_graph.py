@@ -121,6 +121,80 @@ class TestPoseGraph:
         np.testing.assert_allclose(s.gps, [2.5, 2.5, 3.0])
 
 
+class TestAssembleOracle:
+    def test_dense_H_matches_float64_reference(self):
+        """The TPU-formulated assembly (one-hot MXU matmuls for diagonal
+        blocks, single wide-layout block-diagonal expansion, off-diagonal
+        scatter) must equal a straightforward float64 numpy assembly of
+        J^T W^2 J from the same per-factor residuals/Jacobians."""
+        from lidar_slam_arvc_tpu.graph.solver import (
+            _assemble, _between_residuals, _gps_residuals, _prior_residuals)
+        rng = np.random.default_rng(7)
+        n, cap = 12, 16
+        T_gt = synthetic.make_trajectory(n, radius=4.0)
+        g = PoseGraph(max_poses=cap, max_between=64, max_gps=16)
+        g.init_graph()
+        for i in range(n - 1):
+            rel = _noisy_rel(np.linalg.inv(T_gt[i]) @ T_gt[i + 1], rng)
+            g.add_initial_estimate(rel, i + 1)
+            g.add_edge(rel, i, i + 1, "SM")
+            g.add_edge(rel, i, i + 1, "ODO")       # duplicate (i, j) pair
+        g.add_edge(np.linalg.inv(T_gt[1]) @ T_gt[n - 2], 1, n - 2, "SM")
+        for i in (0, 5):
+            g.add_gps_factor(*T_gt[i][:3, 3], i)
+
+        poses = jnp.asarray(g.poses)
+        f = g._factor_data()
+        H, b = _assemble(poses, f, jnp.int32(g.n_poses))
+        H = np.asarray(H, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+
+        M = cap * 6
+        H64 = np.zeros((M, M))
+        b64 = np.zeros(M)
+        r, A, B = map(np.asarray, _between_residuals(poses, f))
+        w = np.asarray(f.bt_winv)
+        for e in range(len(w)):
+            if not w[e].any():
+                continue
+            i, j = int(f.bt_i[e]), int(f.bt_j[e])
+            J = np.zeros((6, M))
+            J[:, 6 * i: 6 * i + 6] = A[e]
+            J[:, 6 * j: 6 * j + 6] = B[e]
+            W2 = np.diag(w[e].astype(np.float64) ** 2)
+            H64 += J.T @ W2 @ J
+            b64 += J.T @ W2 @ r[e]
+        rg, Jg = map(np.asarray, _gps_residuals(poses, f))
+        wg = np.asarray(f.gps_winv)
+        for e in range(len(wg)):
+            if not wg[e].any():
+                continue
+            i = int(f.gps_i[e])
+            J = np.zeros((3, M))
+            J[:, 6 * i: 6 * i + 6] = Jg[e]
+            W2 = np.diag(wg[e].astype(np.float64) ** 2)
+            H64 += J.T @ W2 @ J
+            b64 += J.T @ W2 @ rg[e]
+        rp, Jp = map(np.asarray, _prior_residuals(poses, f))
+        wp = np.asarray(f.pr_winv)
+        for e in range(len(wp)):
+            if not wp[e].any():
+                continue
+            i = int(f.pr_i[e])
+            J = np.zeros((6, M))
+            J[:, 6 * i: 6 * i + 6] = Jp[e]
+            W2 = np.diag(wp[e].astype(np.float64) ** 2)
+            H64 += J.T @ W2 @ J
+            b64 += J.T @ W2 @ rp[e]
+        for p in range(g.n_poses, cap):           # inactive identity
+            H64[6 * p: 6 * p + 6, 6 * p: 6 * p + 6] = np.eye(6)
+
+        scale = max(np.abs(H64).max(), 1.0)
+        np.testing.assert_allclose(H / scale, H64 / scale, atol=1e-6)
+        bs = max(np.abs(b64).max(), 1.0)
+        np.testing.assert_allclose(b / bs, b64 / bs, atol=1e-6)
+
+
 class TestPCGSolver:
     """Matrix-free PCG vs dense Cholesky (graph/pcg.py)."""
 
