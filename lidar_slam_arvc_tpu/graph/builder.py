@@ -117,16 +117,17 @@ class PoseGraph:
         truth, also reported in the stage-2 profile artifact.
 
         The dense<->PCG threshold is MEASURED, not guessed (TPU v5e, r4,
-        benchmarks/graph_roofline.py): per LM step dense/PCG = 15.0/20.1 ms
-        at 1024-pose capacity but 85.8/40.2 ms at 2048 — the dense
-        Cholesky's O(N^3) crosses the PCG edge-sweep's O(E) between those
-        power-of-two capacities, so 1024 is the last dense size.
+        benchmarks/graph_roofline.py, ms per LM step dense vs PCG with the
+        cyclic-reduction chain preconditioner, graph/bcr.py):
+        256: 2.4/3.0 — 512: 4.1/3.7 — 1024: 15.0/6.0 — 2048: 85.8/12.2 —
+        4096: -/19.9.  The crossover sits between the 256 and 512
+        power-of-two capacities, so 256 is the last dense size.
         """
         if (self.mesh is not None and self.mesh.size > 1
                 and self.max_poses % self.mesh.size == 0
                 and self.max_poses >= 2 * self.mesh.size):
             return "schur"
-        return "dense" if self.max_poses <= 1024 else "pcg"
+        return "dense" if self.max_poses <= 256 else "pcg"
 
     def optimize(self, max_iterations: int = 15,
                  solver: str = "auto") -> float:

@@ -80,6 +80,25 @@ def _linearize(poses, factors: FactorData, n_active):
         factors.bt_i, factors.bt_j, factors.gps_i, factors.pr_i, inactive)
 
 
+def _tridiag_blocks(lin: _LinearizedGraph, factors: FactorData, lam):
+    """(A (N,6,6) damped diagonal blocks, E (N,6,6) superdiagonal with
+    E[N-1]=0) — the block-TRIDIAGONAL part of damped H, shared by the
+    scan factorization below and the cyclic-reduction one (graph/bcr.py).
+    """
+    N = lin.diag_blocks.shape[0]
+    A = lin.diag_blocks * (1.0 + lam) + 1e-8 * jnp.eye(
+        6, dtype=lin.diag_blocks.dtype)
+    # E[k] = damped H[k, k+1]: A^T W^2 B of consecutive between edges
+    AtWB = jnp.einsum("eba,eb,ebc->eac", lin.A, lin.w2_bt, lin.B,
+                      precision=_HI)
+    consec = factors.bt_j == factors.bt_i + 1
+    dst = jnp.where(consec, factors.bt_i, N)
+    E = jnp.zeros((N, 6, 6), dtype=A.dtype).at[dst].add(AtWB, mode="drop")
+    # chain ends at inactive poses: their identity diagonal + zero E rows
+    # (edges into them have zero weight) keep the factorization regular
+    return A, E
+
+
 def _build_tridiag_precond(lin: _LinearizedGraph, factors: FactorData, lam):
     """Block-LDL^T factorization of the block-TRIDIAGONAL part of damped H.
 
@@ -97,19 +116,7 @@ def _build_tridiag_precond(lin: _LinearizedGraph, factors: FactorData, lam):
     (sequential but tiny — ~N us on TPU, once per CG solve); applying it is
     one forward + one backward scan.
     """
-    N = lin.diag_blocks.shape[0]
-    A = lin.diag_blocks * (1.0 + lam) + 1e-8 * jnp.eye(
-        6, dtype=lin.diag_blocks.dtype)
-
-    # E[k] = damped H[k, k+1]: A^T W^2 B of consecutive between edges
-    AtWB = jnp.einsum("eba,eb,ebc->eac", lin.A, lin.w2_bt, lin.B,
-                      precision=_HI)
-    consec = factors.bt_j == factors.bt_i + 1
-    dst = jnp.where(consec, factors.bt_i, N)
-    E = jnp.zeros((N, 6, 6), dtype=A.dtype).at[dst].add(AtWB, mode="drop")
-    # chain ends at inactive poses: their identity diagonal + zero E rows
-    # (edges into them have zero weight) keep the factorization regular
-
+    A, E = _tridiag_blocks(lin, factors, lam)
     Uinv0 = jnp.linalg.inv(A[0])
 
     def fact_step(Uinv_prev, inputs):
@@ -178,16 +185,28 @@ def _hx(lin: _LinearizedGraph, idx, x, lam):
 @functools.partial(jax.jit, static_argnames=("max_cg_iters", "precond"))
 def pcg_lm_step(poses, factors: FactorData, n_active, lam,
                 max_cg_iters: int = 200, rtol: float = 1e-6,
-                precond: str = "tridiag"):
+                precond: str = "auto"):
     """One damped GN step solved by preconditioned CG; returns (poses, cost).
 
-    precond: 'tridiag' (block-tridiagonal chain solve — default; converges
-    in tens of iterations on SLAM graphs) or 'jacobi' (block-diagonal)."""
+    precond: 'auto' (default) = 'bcr' at power-of-two pose capacity, else
+    'tridiag'.  Both solve the block-tridiagonal chain part of damped H
+    exactly; 'bcr' (graph/bcr.py cyclic reduction) does the factorization
+    AND every apply in log2(N) batched levels instead of N-step scans —
+    measured 13.4 ms build + 4.2 ms/apply for the scans at 2048 poses.
+    'jacobi' (block-diagonal) is kept for comparison."""
     n_active = jnp.asarray(n_active, dtype=jnp.int32)
     lin, idx = _linearize(poses, factors, n_active)
     b = -lin.grad  # solve H delta = -grad
+    N = poses.shape[0]
 
-    if precond == "tridiag":
+    if precond == "auto":
+        precond = "bcr" if (N & (N - 1)) == 0 else "tridiag"
+    if precond == "bcr":
+        from lidar_slam_arvc_tpu.graph.bcr import bcr_factor, bcr_solve
+        A, E = _tridiag_blocks(lin, factors, lam)
+        levels, Dinv_root = bcr_factor(A, E)
+        apply_M = lambda r: bcr_solve(levels, Dinv_root, r)
+    elif precond == "tridiag":
         Uinv, W, E = _build_tridiag_precond(lin, factors, lam)
         apply_M = lambda r: _apply_tridiag_precond(Uinv, W, E, r)
     else:
@@ -281,11 +300,19 @@ def marginal_blocks_pcg(poses, factors: FactorData, n_active, indices,
     n_active = jnp.asarray(n_active, dtype=jnp.int32)
     lin, idx = _linearize(poses, factors, n_active)
     zero = jnp.zeros((), dtype=poses.dtype)   # undamped H
-    Uinv, W, E = _build_tridiag_precond(lin, factors, zero)
+    N = poses.shape[0]
+    if (N & (N - 1)) == 0:                    # log-depth preconditioner
+        from lidar_slam_arvc_tpu.graph.bcr import bcr_factor, bcr_solve
+        A, E_t = _tridiag_blocks(lin, factors, zero)
+        levels, Dinv_root = bcr_factor(A, E_t)
+        apply_precond = lambda r: bcr_solve(levels, Dinv_root, r)
+    else:
+        Uinv, W, E = _build_tridiag_precond(lin, factors, zero)
+        apply_precond = lambda r: _apply_tridiag_precond(Uinv, W, E, r)
 
     def solve_one(p, j):
         b = jnp.zeros_like(lin.grad).at[p, j].set(1.0)
-        apply_M = lambda r: _apply_tridiag_precond(Uinv, W, E, r)
+        apply_M = apply_precond
         dot = lambda a, c: jnp.sum(a * c)
         r0 = b
         z0 = apply_M(r0)

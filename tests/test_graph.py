@@ -195,6 +195,67 @@ class TestAssembleOracle:
         np.testing.assert_allclose(b / bs, b64 / bs, atol=1e-6)
 
 
+class TestBCR:
+    def test_matches_dense_solve(self):
+        """Cyclic-reduction solve of random SPD block-tridiagonal systems
+        vs a dense float64 oracle, across sizes incl. N=2 and N=1024."""
+        from lidar_slam_arvc_tpu.graph.bcr import bcr_factor, bcr_solve
+        rng = np.random.default_rng(0)
+        for n in (2, 8, 64, 1024):
+            E = rng.normal(scale=0.3, size=(n, 6, 6)).astype(np.float32)
+            E[-1] = 0
+            R = rng.normal(size=(n, 6, 6)).astype(np.float32)
+            D = np.einsum("kab,kcb->kac", R, R) + 8 * np.eye(
+                6, dtype=np.float32)
+            M = np.zeros((6 * n, 6 * n))
+            for i in range(n):
+                M[6 * i: 6 * i + 6, 6 * i: 6 * i + 6] = D[i]
+                if i + 1 < n:
+                    M[6 * i: 6 * i + 6, 6 * i + 6: 6 * i + 12] = E[i]
+                    M[6 * i + 6: 6 * i + 12, 6 * i: 6 * i + 6] = E[i].T
+            b = rng.normal(size=(n, 6)).astype(np.float32)
+            x_ref = np.linalg.solve(M, b.ravel()).reshape(n, 6)
+            levels, Dr = bcr_factor(jnp.asarray(D), jnp.asarray(E))
+            x = np.asarray(bcr_solve(levels, Dr, jnp.asarray(b)))
+            err = np.abs(x - x_ref).max() / max(np.abs(x_ref).max(), 1)
+            assert err < 1e-4, (n, err)
+
+    def test_rejects_non_power_of_two(self):
+        from lidar_slam_arvc_tpu.graph.bcr import bcr_factor
+        D = jnp.tile(jnp.eye(6), (12, 1, 1))
+        E = jnp.zeros((12, 6, 6))
+        with pytest.raises(ValueError, match="power-of-two"):
+            bcr_factor(D, E)
+
+    def test_pcg_step_bcr_matches_tridiag(self):
+        """pcg_lm_step with the BCR preconditioner reaches the same
+        solution as the scan preconditioner (same H, same CG, different
+        preconditioner factorization only)."""
+        from lidar_slam_arvc_tpu.graph.pcg import pcg_lm_step
+        rng = np.random.default_rng(2)
+        n, cap = 24, 32
+        T_gt = synthetic.make_trajectory(n, radius=6.0)
+        g = PoseGraph(max_poses=cap, max_between=2 * cap, max_gps=cap)
+        g.init_graph()
+        for i in range(n - 1):
+            rel = _noisy_rel(np.linalg.inv(T_gt[i]) @ T_gt[i + 1], rng)
+            g.add_initial_estimate(rel, i + 1)
+            g.add_edge(rel, i, i + 1, "SM")
+        g.add_edge(np.linalg.inv(T_gt[2]) @ T_gt[n - 2], 2, n - 2, "SM")
+        poses = jnp.asarray(g.poses)
+        f = g._factor_data()
+        lam = jnp.float32(1e-6)
+        p_bcr, c_bcr = pcg_lm_step(poses, f, g.n_poses, lam,
+                                   precond="bcr")
+        p_tri, c_tri = pcg_lm_step(poses, f, g.n_poses, lam,
+                                   precond="tridiag")
+        np.testing.assert_allclose(np.asarray(p_bcr[:n, :3, 3]),
+                                   np.asarray(p_tri[:n, :3, 3]),
+                                   atol=5e-4)
+        assert abs(float(c_bcr) - float(c_tri)) < 1e-3 * max(
+            float(c_tri), 1.0)
+
+
 class TestPCGSolver:
     """Matrix-free PCG vs dense Cholesky (graph/pcg.py)."""
 
