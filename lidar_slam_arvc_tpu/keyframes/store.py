@@ -57,6 +57,13 @@ class KeyframeStore:
 
         Equivalent of add_keyframes + load_pointcloud + pre_process
         (keyframemanager.py:20-50) for the whole sequence at once.
+
+        Under a multi-controller run (``jax.process_count() > 1``, RNG-free
+        methods) each process loads and preprocesses ONLY its contiguous
+        scan block and the store tensors are assembled as globally
+        mesh-sharded jax.Arrays — the stage-2 counterpart of stage 1's
+        per-host I/O (SURVEY §2.3 row 2; the reference keeps the whole
+        keyframe list in one host's RAM, keyframemanager.py:15,30).
         """
         from lidar_slam_arvc_tpu.pipeline.scanmatcher import (
             load_and_preprocess_streamed,
@@ -64,10 +71,44 @@ class KeyframeStore:
         if keyframe_sampling > 1:
             self.scan_times = self.scan_times[::keyframe_sampling]
         euroc = EurocDataset(self.directory)
-        (self.points, self.mask, self.normals, self.ground_mask,
-         self.nonground_mask, self.overflow) = load_and_preprocess_streamed(
-            euroc, self.scan_times, self.cfg, self.method, self.voxel_size,
-            seed=seed)
+        multihost_mode = (jax.process_count() > 1
+                          and self.method in ("icppointplane",
+                                              "icppointpoint"))
+        if multihost_mode:
+            from jax.experimental import multihost_utils
+            from lidar_slam_arvc_tpu.parallel import multihost as mh
+            from lidar_slam_arvc_tpu.parallel.mesh import data_mesh
+            mesh = data_mesh()
+            n = len(self.scan_times)
+            n_total = -(-n // mesh.size) * mesh.size
+            times_padded = np.concatenate(
+                [self.scan_times,
+                 np.repeat(self.scan_times[-1:], n_total - n)])
+            pc = jax.process_count()
+            bounds = np.linspace(0, n_total, pc + 1).astype(int)
+            lo, hi = (int(bounds[jax.process_index()]),
+                      int(bounds[jax.process_index() + 1]))
+            pts, mask, normals, _, _, ovf = load_and_preprocess_streamed(
+                euroc, times_padded[lo:hi], self.cfg, self.method,
+                self.voxel_size, seed=seed)
+            glob = mh.assemble_global_scans(
+                mesh, {"points": np.asarray(pts),
+                       "mask": np.asarray(mask),
+                       "normals": np.asarray(normals)}, n_total)
+            self.points, self.mask, self.normals = (
+                glob["points"], glob["mask"], glob["normals"])
+            self.ground_mask = self.nonground_mask = None
+            self.overflow = multihost_utils.process_allgather(
+                np.asarray(ovf), tiled=True)[:n]
+            self.n_loaded_locally = hi - lo
+            self._mesh = mesh
+        else:
+            (self.points, self.mask, self.normals, self.ground_mask,
+             self.nonground_mask,
+             self.overflow) = load_and_preprocess_streamed(
+                euroc, self.scan_times, self.cfg, self.method,
+                self.voxel_size, seed=seed)
+            self.n_loaded_locally = len(self.scan_times)
         return self
 
     # -------------------------------------------------------- sharding

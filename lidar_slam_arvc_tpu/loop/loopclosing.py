@@ -19,10 +19,31 @@ uses an explicit seeded Generator instead of global np.random
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from lidar_slam_arvc_tpu.registration import ICPParams, icp_batch
+
+
+@functools.lru_cache(maxsize=8)
+def _replicated_gather_icp(mesh, params: ICPParams, method: str):
+    """Jitted gather+ICP over a GLOBALLY SHARDED scan store with fully
+    replicated outputs.  Multi-controller runs cannot fetch non-addressable
+    shards to the host, so the candidate gathers and the result layout must
+    both live inside one jitted program with explicit output sharding —
+    every process then holds the full (identical) result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+
+    def fn(points, masks, normals, si, ti, seeds):
+        res = icp_batch(points[si], masks[si], points[ti], masks[ti],
+                        normals[ti], seeds, params, method)
+        return res.transform, res.fitness
+
+    return jax.jit(fn, out_shardings=(rep, rep))
 
 
 def _rot_to_euler_both_np(R: np.ndarray):
@@ -45,9 +66,15 @@ class LoopCloser:
                  distance_backwards: float = 7.0,
                  radius_threshold: float = 5.0,
                  icp_params: ICPParams | None = None,
-                 method: str = "point_to_plane", seed: int = 0):
-        """graph: PoseGraph; scan_*: stacked preprocessed scans (device)."""
+                 method: str = "point_to_plane", seed: int = 0,
+                 mesh=None):
+        """graph: PoseGraph; scan_*: stacked preprocessed scans (device).
+
+        ``mesh``: when the scan store is a globally sharded jax.Array
+        (multi-controller per-host loading), pass its mesh so candidate
+        ICPs run through the replicated-output jitted gather."""
         self.graph = graph
+        self.mesh = mesh
         self.scan_points = scan_points
         self.scan_masks = scan_masks
         self.scan_normals = scan_normals
@@ -132,11 +159,18 @@ class LoopCloser:
 
         si = jnp.asarray(padded[:, 1])  # source = scan j
         ti = jnp.asarray(padded[:, 0])  # target = scan i
-        res = icp_batch(self.scan_points[si], self.scan_masks[si],
-                        self.scan_points[ti], self.scan_masks[ti],
-                        self.scan_normals[ti], jnp.asarray(seeds),
-                        self.icp_params, self.method)
-        T = np.asarray(res.transform, dtype=np.float64)[:n]
+        if self.mesh is not None and jax.process_count() > 1:
+            fn = _replicated_gather_icp(self.mesh, self.icp_params,
+                                        self.method)
+            T_dev, _ = fn(self.scan_points, self.scan_masks,
+                          self.scan_normals, si, ti, jnp.asarray(seeds))
+            T = np.asarray(T_dev, dtype=np.float64)[:n]
+        else:
+            res = icp_batch(self.scan_points[si], self.scan_masks[si],
+                            self.scan_points[ti], self.scan_masks[ti],
+                            self.scan_normals[ti], jnp.asarray(seeds),
+                            self.icp_params, self.method)
+            T = np.asarray(res.transform, dtype=np.float64)[:n]
         return np.einsum("ij,njk,kl->nil", T0g_inv, T, T0g)
 
     # ------------------------------------------------------- public API

@@ -53,10 +53,16 @@ def distributed_lm_step(mesh: Mesh, poses: jax.Array, factors: FactorData,
                         n_active, lam: float = 1e-6, axis: str = "data"):
     """One damped GN step with distributed assembly; returns (poses, cost)."""
     H, b = distributed_assemble(mesh, poses, factors, n_active, axis)
-    damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(
-        H.shape[0], dtype=H.dtype)
-    delta = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(damped, lower=True), -b)
+    di = jnp.arange(H.shape[0])
+    damped = H.at[di, di].add(lam * jnp.diagonal(H) + 1e-9,
+                              unique_indices=True)
+    # same Jacobi equilibration as graph/solver._lm_step: cond(H) ~ 1e8 on
+    # SLAM sigma tables, and the two solvers must follow the SAME LM
+    # trajectory to stay comparable step-for-step
+    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(damped), 1e-30))
+    damped = damped * s[:, None] * s[None, :]
+    delta = s * jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(damped, lower=True), -(b * s))
     delta = delta.reshape(-1, 6)
     active = (jnp.arange(poses.shape[0]) < n_active)[:, None]
     delta = jnp.where(active, delta, 0.0)

@@ -121,8 +121,10 @@ def _run_graphslam(directory, cfg, progress, compiles):
         from lidar_slam_arvc_tpu.keyframes import KeyframeStore
         store = KeyframeStore(directory, scan_times, voxel_size=None,
                               method="icppointplane", cfg=cfg)
+        # multi-controller: loads only this host's scan block and holds
+        # globally sharded tensors (KeyframeStore.load_and_preprocess)
         store.load_and_preprocess()
-        if mesh is not None:
+        if mesh is not None and not store.sharded:
             # scan axis sharded over the mesh: each device holds N/D
             # keyframes; candidate-pair gathers become XLA collectives
             store.shard(mesh)
@@ -135,9 +137,12 @@ def _run_graphslam(directory, cfg, progress, compiles):
                 max_iterations=cfg.max_iterations,
                 source_stride=cfg.source_stride),
             method=("point_to_point" if method == "icppointpoint"
-                    else "point_to_plane"))
+                    else "point_to_plane"),
+            mesh=getattr(store, "_mesh", None))
+        store_loaded_locally = store.n_loaded_locally
     else:
         closer = None
+        store_loaded_locally = 0
     store_seconds = time.time() - t_store0
 
     corr_indexes = []
@@ -180,10 +185,14 @@ def _run_graphslam(directory, cfg, progress, compiles):
     graph.optimize(max_iterations=30)
 
     solution_lidar = graph.get_solution_transforms_lidar()[:n]
-    euroc.save_transforms_as_csv(scan_times, solution_lidar,
-                                 "/robot0/SLAM/solution_graphslam.csv")
-    euroc.save_loop_closures_as_csv(loop_closures,
-                                    "/robot0/SLAM/loop_closures.csv")
+    # multi-controller runs share the dataset directory: one writer
+    import jax
+    is_writer = jax.process_index() == 0
+    if is_writer:
+        euroc.save_transforms_as_csv(scan_times, solution_lidar,
+                                     "/robot0/SLAM/solution_graphslam.csv")
+        euroc.save_loop_closures_as_csv(loop_closures,
+                                        "/robot0/SLAM/loop_closures.csv")
     # uncertainty-ellipse artifact = the reference's live GraphSLAM.plot
     # with plot_uncertainty_ellipse=True (graphSLAM.py:115-145), headless.
     # Only the plotted (skip-sampled) poses need marginals: chunked dense
@@ -202,15 +211,17 @@ def _run_graphslam(directory, cfg, progress, compiles):
         blocks = graph.marginal_covariances(indices=idx)
         covs = np.zeros((graph.n_poses, 6, 6))
         covs[idx] = blocks
-    try:
-        from lidar_slam_arvc_tpu.viz import plot_trajectory_with_uncertainty
-        plot_trajectory_with_uncertainty(
-            graph.current_estimate, covs,
-            f"{directory}/robot0/SLAM/uncertainty.png", skip=skip)
-    except (ImportError, OSError) as exc:  # headless plotting only
-        uncertainty_error = f"{type(exc).__name__}: {exc}"
-        if progress:
-            print(f"uncertainty plot skipped: {uncertainty_error}")
+    if is_writer:
+        try:
+            from lidar_slam_arvc_tpu.viz import (
+                plot_trajectory_with_uncertainty)
+            plot_trajectory_with_uncertainty(
+                graph.current_estimate, covs,
+                f"{directory}/robot0/SLAM/uncertainty.png", skip=skip)
+        except (ImportError, OSError) as exc:  # headless plotting only
+            uncertainty_error = f"{type(exc).__name__}: {exc}"
+            if progress:
+                print(f"uncertainty plot skipped: {uncertainty_error}")
     n_loops = sum(len(g) for g in loop_closures if g)
     seconds = time.time() - t0
 
@@ -229,14 +240,19 @@ def _run_graphslam(directory, cfg, progress, compiles):
         "solver": graph.auto_solver(),
         "uncertainty_error": uncertainty_error,
         "mesh_devices": int(cfg.mesh_devices),
+        "process_count": int(jax.process_count()),
+        "store_scans_loaded_locally": int(store_loaded_locally),
         **compiles.report(),
     }
-    os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
-    with open(f"{directory}/robot0/viz/graphslam_profile.json", "w") as f:
-        json.dump(profile, f, indent=2)
+    if is_writer:
+        os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
+        with open(f"{directory}/robot0/viz/graphslam_profile.json",
+                  "w") as f:
+            json.dump(profile, f, indent=2)
     return {"solution": solution_lidar, "scan_times": scan_times,
             "loop_closures": loop_closures, "n_loop_closures": n_loops,
             "gps_correspondences": corr_indexes,
+            "store_scans_loaded_locally": int(store_loaded_locally),
             "seconds": seconds}
 
 

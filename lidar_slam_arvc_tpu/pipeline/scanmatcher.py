@@ -628,6 +628,11 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
         with open(f"{directory}/robot0/viz/scanmatcher_profile.json",
                   "w") as f:
             json.dump(profile, f, indent=2)
+    if jax.process_count() > 1:
+        # other processes must not race ahead into stage 2 (which READS
+        # these CSVs) before the writer finishes
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("scanmatcher_csvs_written")
     return {"scan_times": scan_times, "relative": rel_sm,
             "global": T_global, "icp_seconds": icp_seconds,
             "scans_loaded_locally": int(n_loaded_locally),
