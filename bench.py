@@ -240,6 +240,32 @@ def run_cpu_baseline(scans, seeds):
     return BASELINE_PAIRS / dt
 
 
+def pinned_baseline_fps():
+    """The pinned per-pair CPU baseline from BASELINE.json, or None.
+
+    r4 verdict weak-point 3: live-re-timing 3 pairs on the shared 2-core
+    box made vs_baseline swing +-40% run to run.  The constant is measured
+    in isolation by benchmarks/cpu_baseline_pin.py (protocol recorded
+    alongside); it only applies when the workload matches the pinned
+    configuration.  BENCH_LIVE_BASELINE=1 forces a live re-measure.
+    """
+    if os.environ.get("BENCH_LIVE_BASELINE") == "1":
+        return None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            pin = json.load(f).get("cpu_baseline")
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    if pin is None:
+        return None
+    if (pin.get("scan_points") != SCAN_POINTS
+            or pin.get("voxel") != VOXEL
+            or pin.get("icp_iterations") != ICP_ITERS):
+        return None
+    return pin["frames_per_second_by_stride"].get(str(STRIDE))
+
+
 def main():
     from lidar_slam_arvc_tpu.utils.profiling import (
         CompileCounter, enable_compilation_cache)
@@ -257,7 +283,14 @@ def main():
         baseline_fps = float("nan")
         vs = float("nan")
     else:
-        baseline_fps = run_cpu_baseline(scans, seeds)
+        baseline_fps = pinned_baseline_fps()
+        if baseline_fps is not None:
+            sys.stderr.write(f"cpu baseline: pinned constant "
+                             f"{baseline_fps} fps at stride {STRIDE} "
+                             f"(BASELINE.json cpu_baseline; "
+                             f"BENCH_LIVE_BASELINE=1 to re-measure)\n")
+        else:
+            baseline_fps = run_cpu_baseline(scans, seeds)
         vs = fps / baseline_fps
 
     # accuracy guard: the odometry seeds ARE the exact ground-truth relative

@@ -123,6 +123,16 @@ def main():
         "store_load_preprocess_seconds":
             prof["store_load_preprocess_seconds"],
         "solve_loop_seconds": prof["solve_loop_seconds"],
+        # per-phase breakdown (r5): where the solve+loop wall actually goes
+        "optimize_seconds": prof["optimize_seconds"],
+        "loop_candidate_search_seconds":
+            prof["loop_candidate_search_seconds"],
+        "loop_icp_seconds": prof["loop_icp_seconds"],
+        "loop_icp_dispatches": prof["loop_icp_dispatches"],
+        "loop_icp_pairs": prof["loop_icp_pairs"],
+        "marginals_seconds": prof["marginals_seconds"],
+        "host_other_seconds": prof["host_other_seconds"],
+        "solver": prof["solver"],
         "optimizations": prof["optimizations"],
         "loop_closing_rounds": prof["loop_closing_rounds"],
         "loop_closures_accepted": prof["loop_closures_accepted"],

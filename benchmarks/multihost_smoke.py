@@ -1,11 +1,12 @@
-"""TWO-PROCESS multi-host validation of the distributed pipeline (CPU/gloo).
+"""MULTI-PROCESS multi-host validation of the distributed pipeline (CPU/gloo).
 
 The virtual 8-device mesh (tests/conftest.py) proves sharding numerics but
 runs in ONE process — it cannot catch multi-controller bugs (non-addressable
 shards, per-host IO, process_allgather, jax.distributed bring-up).  This
-script runs the REAL multi-host code path: two OS processes, 4 virtual CPU
-devices each, joined by jax.distributed over localhost (Gloo collectives —
-the same JAX machinery that rides ICI/DCN on a TPU pod):
+script runs the REAL multi-host code path: MH_PROCS OS processes,
+MH_LOCAL_DEVICES virtual CPU devices each, joined by jax.distributed over
+localhost (Gloo collectives — the same JAX machinery that rides ICI/DCN on
+a TPU pod):
 
   1. parallel.multihost.initialize           (jax.distributed bring-up)
   2. run_scanmatcher(directory) — THE REAL CLI STAGE-1 ENTRY POINT — which
@@ -17,14 +18,20 @@ the same JAX machinery that rides ICI/DCN on a TPU pod):
      full-resolution keyframe store also loads per-host (globally sharded
      tensors; loop-closure candidate ICPs run through a replicated-output
      jitted gather)
-  4. a distributed LM step over the global mesh (parallel/dist_solver.py)
+  4. run_graphslam AGAIN with cfg.mesh_devices=0: the pose graph carries
+     the global mesh, auto_solver picks 'schur', and the distributed
+     Schur elimination's psum CROSSES THE PROCESS BOUNDARY (r4 verdict
+     weak-point 4: this path had never left one process)
+  5. a distributed LM step over the global mesh (parallel/dist_solver.py)
 
-Both processes must reproduce the single-process stage-1 result (<=1e-4)
-and stage-2 solution, load only n_scans/2 PCDs each in BOTH stages, and
-the dense LM solve (<=5e-3 translation); the parent additionally compares
-the multi-process CSVs against the single-process CSVs.
+Every process must reproduce the single-process stage-1 result (<=1e-4),
+the replicated stage-2 solution (<=1e-3), the schur stage-2 solution
+(<=3e-2 — independent f32 solver over a cond~1e8 system), load only
+n_scans/P PCDs in BOTH stages, and the dense LM solve; the parent
+additionally compares the multi-process CSVs against single-process.
 
-Usage:  python benchmarks/multihost_smoke.py          # parent: spawns both
+Usage:  python benchmarks/multihost_smoke.py            # 2 procs x 4 devs
+        MH_PROCS=4 MH_LOCAL_DEVICES=2 python benchmarks/multihost_smoke.py
 """
 
 import json
@@ -38,7 +45,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_SCANS = 16          # 8 global devices x K=2 scans/device, no padding
+N_PROCS = int(os.environ.get("MH_PROCS", 2))
+LOCAL_DEVICES = int(os.environ.get("MH_LOCAL_DEVICES", 8 // N_PROCS))
+GLOBAL_DEVICES = N_PROCS * LOCAL_DEVICES
+N_SCANS = 16          # global devices x K scans/device, no padding
 BATCH = 2
 
 
@@ -53,9 +63,10 @@ def child(process_id: int, directory: str, port: int) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
     from lidar_slam_arvc_tpu.parallel import multihost
-    topo = multihost.initialize(f"localhost:{port}", num_processes=2,
+    topo = multihost.initialize(f"localhost:{port}", num_processes=N_PROCS,
                                 process_id=process_id)
-    assert topo["process_count"] == 2 and topo["global_devices"] == 8, topo
+    assert topo["process_count"] == N_PROCS, topo
+    assert topo["global_devices"] == GLOBAL_DEVICES, topo
 
     from jax.sharding import Mesh
     from lidar_slam_arvc_tpu.pipeline.scanmatcher import run_scanmatcher
@@ -68,9 +79,9 @@ def child(process_id: int, directory: str, port: int) -> None:
     # THE REAL CLI ENTRY POINT: run_scanmatcher detects process_count > 1
     # and takes the per-host-I/O + sharded-global-stack path itself
     out = run_scanmatcher(directory, cfg=cfg, progress=False)
-    assert out["scans_loaded_locally"] == N_SCANS // 2, (
+    assert out["scans_loaded_locally"] == N_SCANS // N_PROCS, (
         f"proc {pi}: loaded {out['scans_loaded_locally']} scans, "
-        f"expected its {N_SCANS // 2}-scan shard only")
+        f"expected its {N_SCANS // N_PROCS}-scan shard only")
     T = out["relative"]
     assert T.shape == (N_SCANS - 1, 4, 4)
 
@@ -82,16 +93,32 @@ def child(process_id: int, directory: str, port: int) -> None:
     # sharded-store candidate ICPs + replicated graph solve
     from lidar_slam_arvc_tpu.pipeline.graphslam import run_graphslam
     out_g = run_graphslam(directory, cfg=cfg, progress=False)
-    assert out_g["store_scans_loaded_locally"] == N_SCANS // 2, (
+    assert out_g["store_scans_loaded_locally"] == N_SCANS // N_PROCS, (
         f"proc {pi}: store loaded {out_g['store_scans_loaded_locally']}")
     sol = np.asarray(out_g["solution"])
     sol_ref = np.load(f"{directory}/single_process_solution.npy")
     dev_g = float(np.abs(sol[:, :3, 3] - sol_ref[:, :3, 3]).max())
     assert dev_g < 1e-3, f"proc {pi}: stage-2 dev vs single-process {dev_g}"
 
+    # stage 2 AGAIN with the global mesh attached: auto_solver picks the
+    # distributed Schur elimination, whose psum now crosses the process
+    # boundary (cfg.mesh_devices=0 = all global devices)
+    import dataclasses
+    cfg_mesh = dataclasses.replace(cfg, mesh_devices=0)
+    out_s = run_graphslam(directory, cfg=cfg_mesh, progress=False)
+    import json as _json
+    with open(f"{directory}/robot0/viz/graphslam_profile.json") as f:
+        prof_s = _json.load(f)
+    assert prof_s["solver"] == "schur", prof_s["solver"]
+    sol_s = np.asarray(out_s["solution"])
+    dev_s = float(np.abs(sol_s[:, :3, 3] - sol_ref[:, :3, 3]).max())
+    # independent f32 solver over a cond~1e8 system: trajectories agree to
+    # the conditioning floor (same bound as the distributed-LM check)
+    assert dev_s < 3e-2, f"proc {pi}: schur stage-2 dev {dev_s}"
+
     mesh = Mesh(np.array(jax.devices()), ("data",))
 
-    # distributed LM step across both processes (psum over gloo)
+    # distributed LM step across all processes (psum over gloo)
     import jax.numpy as jnp
     from lidar_slam_arvc_tpu.graph import PoseGraph
     from lidar_slam_arvc_tpu.graph.solver import graph_cost, lm_drive, solve_graph
@@ -128,6 +155,7 @@ def child(process_id: int, directory: str, port: int) -> None:
     assert dev_lm < 3e-2, f"proc {pi}: distributed vs dense max|dt| {dev_lm}"
 
     print(json.dumps({"process": pi, "stage1_max_dev": dev,
+                      "stage2_schur_max_dev": round(dev_s, 6),
                       "lm_cost": [round(cost0, 4), round(float(c_dist), 4)],
                       "lm_max_dt_vs_dense": round(dev_lm, 6), "ok": True}),
           flush=True)
@@ -140,6 +168,7 @@ def parent() -> int:
     from lidar_slam_arvc_tpu.utils import synthetic
     from lidar_slam_arvc_tpu.utils.config import IcpConfig
 
+    assert N_SCANS % N_PROCS == 0, (N_SCANS, N_PROCS)
     with tempfile.TemporaryDirectory() as d:
         synthetic.make_dataset(
             d, n_scans=N_SCANS, seed=21, radius=7.0, scan_points=2500,
@@ -164,19 +193,21 @@ def parent() -> int:
                     f"{d}/golden_relative.csv")
 
         port = int(os.environ.get("MH_PORT", 0)) or _free_port()
-        env = dict(os.environ,
-                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        env = dict(
+            os.environ,
+            XLA_FLAGS=f"--xla_force_host_platform_device_count="
+                      f"{LOCAL_DEVICES}")
         # children write to files, not pipes: sequential pipe draining can
-        # deadlock two collective-synchronized processes on full buffers
-        logs = [open(f"{d}/child{i}.log", "w+") for i in range(2)]
+        # deadlock collective-synchronized processes on full buffers
+        logs = [open(f"{d}/child{i}.log", "w+") for i in range(N_PROCS)]
         procs = [subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child", str(i),
              d, str(port)],
             env=env, stdout=logs[i], stderr=subprocess.STDOUT, text=True)
-            for i in range(2)]
+            for i in range(N_PROCS)]
         try:
             for p in procs:
-                p.wait(timeout=1200)
+                p.wait(timeout=1800)
         finally:
             for p in procs:        # a hung child must not outlive the run
                 if p.poll() is None:
@@ -204,9 +235,9 @@ def parent() -> int:
         assert list(a.columns) == list(b.columns)
         dev_csv = float(np.abs(a.to_numpy() - b.to_numpy()).max())
         assert dev_csv < 1e-4, f"CSV dev multi vs single process: {dev_csv}"
-        print(json.dumps({"metric": "multihost_smoke", "processes": 2,
-                          "global_devices": 8, "csv_max_dev": dev_csv,
-                          "ok": True}))
+        print(json.dumps({"metric": "multihost_smoke", "processes": N_PROCS,
+                          "global_devices": GLOBAL_DEVICES,
+                          "csv_max_dev": dev_csv, "ok": True}))
         return 0
 
 

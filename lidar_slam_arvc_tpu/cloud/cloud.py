@@ -71,6 +71,12 @@ def compact_counted(cloud: Cloud, out_capacity: int | None = None):
     capacity = cloud.points.shape[0]
     if out_capacity is None:
         out_capacity = capacity
+    if out_capacity > capacity:
+        # the order[:out_capacity] slice below can only produce `capacity`
+        # rows — growing a cloud is not this function's job
+        raise ValueError(
+            f"compact_counted: out_capacity {out_capacity} exceeds the "
+            f"input capacity {capacity}; pad the input cloud instead")
     # The uniform-selection test below multiplies rank (< capacity) by the
     # kept count (<= out_capacity) in int32; guard the static shapes so the
     # product cannot wrap.  Default shapes (raw 65536 -> 16384) give 2^30.

@@ -39,7 +39,10 @@ def _euler_to_rot_np(abg: np.ndarray) -> np.ndarray:
 
 
 def _wrap(theta):
-    return (theta + np.pi) % (2 * np.pi) - np.pi
+    # atan2(sin, cos) form — the reference's normalize_angle
+    # (artelib/tools.py:29-37); maps exactly pi to +pi, unlike the modulo
+    # form (golden-tested in tests/test_reference_pylayers.py)
+    return np.arctan2(np.sin(theta), np.cos(theta))
 
 
 def _rot_to_euler_both_np(R: np.ndarray):

@@ -64,12 +64,24 @@ def rot_to_quat_np(R: np.ndarray) -> np.ndarray:
     kx = kx + sgn * kx1
     ky = ky + sgn * ky1
     kz = kz + sgn * kz1
-    nm = np.sqrt(kx * kx + ky * ky + kz * kz)
+    # the reference computes nm = np.linalg.norm([kx, ky, kz]) which routes
+    # through BLAS ddot (FMA); batched matmul hits the same kernel, making
+    # the result BITWISE equal — a plain sum of squares differs by 1 ulp on
+    # ~10% of inputs, which breaks byte-identical CSV serialization
+    kvec = np.stack([kx, ky, kz], axis=-1)
+    nm = np.sqrt(np.matmul(kvec[..., None, :], kvec[..., :, None])
+                 [..., 0, 0])
     scale = np.divide(np.sqrt(np.maximum(1.0 - s * s, 0.0)),
                       nm, out=np.zeros_like(nm), where=nm > 1e-12)
     q = np.stack([s, kx * scale, ky * scale, kz * scale], axis=-1)
     q[..., 0] = np.where(nm > 1e-12, q[..., 0], 1.0)
-    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+    # NO trailing re-normalization: the Corke extraction already returns
+    # unit quaternions to 1 ulp for rotation-matrix input (s^2 + |v|^2 = 1
+    # by construction), the reference doesn't normalize
+    # (artelib/tools.py:110-172), and renormalizing perturbs last bits —
+    # breaking byte-identical CSV serialization vs the reference
+    # (tests/test_reference_pylayers.py::TestCsvSerialization).
+    return q
 
 
 def quat_to_yaw_np(q: np.ndarray) -> np.ndarray:

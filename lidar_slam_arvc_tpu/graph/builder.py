@@ -46,6 +46,16 @@ class PoseGraph:
                             (self.max_between, 1, 1))
         self.bt_winv = np.zeros((self.max_between, 6), dtype=np.float32)
         self.n_between = 0
+        # CHAIN-partitioned buffers: slots [0, chain_capacity) hold only
+        # consecutive (j == i+1) edges (or zero-weight padding), so the
+        # dense assembly lays them down as a scatter-free block-tridiagonal
+        # band (solver._expand_block_tridiag); only slots beyond — the
+        # loop-closure edges — go through the serialized scatter.  SM+ODO
+        # chain edges need up to 2*(max_poses-1) slots; at least half of
+        # max_between stays reserved for loop edges.
+        self.chain_capacity = min(2 * max_poses, self.max_between // 2)
+        self.n_chain = 0
+        self.n_loop = 0
 
         self.gps_i = np.zeros(self.max_gps, dtype=np.int32)
         self.gps_z = np.zeros((self.max_gps, 3), dtype=np.float32)
@@ -72,11 +82,26 @@ class PoseGraph:
         self.n_poses = max(self.n_poses, 1)
 
     def add_edge(self, T_ij: np.ndarray, i: int, j: int, noise_type: str):
-        """Between factor i->j (reference graphSLAM.py:88-91)."""
-        if self.n_between >= self.max_between:
-            raise RuntimeError("between-factor capacity exceeded")
+        """Between factor i->j (reference graphSLAM.py:88-91).
+
+        Consecutive edges (j == i+1) fill the chain partition while it has
+        room (scatter-free band assembly); everything else — loop closures,
+        or chain overflow — goes to the scatter partition after it.
+        """
         sig = {"SM": self.sigmas.sm, "ODO": self.sigmas.odo}[noise_type]
-        k = self.n_between
+        if j == i + 1 and self.n_chain < self.chain_capacity:
+            k = self.n_chain
+            self.n_chain += 1
+        else:
+            k = self.chain_capacity + self.n_loop
+            if k >= self.max_between:
+                raise RuntimeError(
+                    f"between-factor capacity exceeded (chain "
+                    f"{self.n_chain}/{self.chain_capacity}, loop "
+                    f"{self.n_loop}/"
+                    f"{self.max_between - self.chain_capacity}); raise "
+                    "max_between")
+            self.n_loop += 1
         self.bt_i[k] = i
         self.bt_j[k] = j
         self.bt_T[k] = np.asarray(T_ij, dtype=np.float32)
@@ -135,11 +160,12 @@ class PoseGraph:
         reference graphSLAM.py:102-105).
 
         solver: 'dense' (Cholesky on the full 6Nx6N normal equations),
-        'pcg' (matrix-free block-Jacobi preconditioned CG), 'schur'
-        (distributed chunk-wise Schur elimination over the attached mesh),
-        or 'auto' (schur when a multi-device mesh is attached and the pose
-        capacity divides over it; else dense up to 1024-pose capacity, PCG
-        beyond).
+        'pcg' (matrix-free preconditioned CG, cyclic-reduction chain
+        preconditioner), 'schur' (distributed chunk-wise Schur elimination
+        over the attached mesh), or 'auto' (schur when a multi-device mesh
+        is attached and the pose capacity divides over it; else dense up to
+        the measured 256-pose-capacity crossover, PCG beyond — see
+        auto_solver for the numbers).
         """
         if solver == "auto":
             solver = self.auto_solver()
@@ -165,7 +191,8 @@ class PoseGraph:
         else:
             poses, cost = solve_graph(jnp.asarray(self.poses),
                                       self._factor_data(), self.n_poses,
-                                      max_iterations=max_iterations)
+                                      max_iterations=max_iterations,
+                                      chain_capacity=self.chain_capacity)
         self.poses = np.array(poses)  # writable host copy
         return cost
 
@@ -174,8 +201,11 @@ class PoseGraph:
         of poses touched by cross-chunk edges, rounded up to a power of two
         (>=16) so the compiled step is reused as the graph grows."""
         m = self.max_poses // n_devices
-        i = self.bt_i[: self.n_between]
-        j = self.bt_j[: self.n_between]
+        # buffers are chain-partitioned (add_edge): active slots are those
+        # with nonzero weight, not a prefix
+        active = self.bt_winv.any(axis=1)
+        i = self.bt_i[active]
+        j = self.bt_j[active]
         cross = (i // m) != (j // m)
         n_sep = len(np.unique(np.concatenate([i[cross], j[cross]])))
         cap = 16
@@ -196,7 +226,8 @@ class PoseGraph:
         if indices is None:
             from lidar_slam_arvc_tpu.graph.solver import marginal_covariances
             cov = marginal_covariances(jnp.asarray(self.poses),
-                                       self._factor_data(), self.n_poses)
+                                       self._factor_data(), self.n_poses,
+                                       chain_capacity=self.chain_capacity)
             return np.array(cov[: self.n_poses], dtype=np.float64)
         from lidar_slam_arvc_tpu.graph.pcg import marginal_blocks_pcg
         cov = marginal_blocks_pcg(jnp.asarray(self.poses),

@@ -136,6 +136,36 @@ def _expand_block_diag(D: jax.Array) -> jax.Array:
     return jnp.where(rb == cb, tiled, 0.0)
 
 
+def _expand_block_tridiag(D: jax.Array, S: jax.Array) -> jax.Array:
+    """(N,6,6) diagonal blocks D + (N,6,6) SUPER-diagonal blocks S (block
+    (i, i+1) = S[i], block (i+1, i) = S[i]^T) -> dense (6N, 6N), NO scatter.
+
+    The chain-band counterpart of _expand_block_diag: consecutive-pose
+    between factors (SM+ODO both connect (i, i+1) — the overwhelming
+    majority of SLAM-graph edges) form a block-tridiagonal band, which this
+    lays out with three wide tiled writes + one fused iota-mask pass instead
+    of the XLA-serialized scatter (r4 BASELINE.md: the two off-diagonal
+    scatter passes cost ~5 ms of the 15 ms LM step at 1024 poses).  Only
+    non-consecutive (loop-closure) edges still scatter (_add_offdiag).
+
+    Layout identities (r = row, c = col, rb = r//6, cb = c//6):
+      upper band  tile(S.reshape(M,6), (1,N))[r,c] = S[rb][r%6, c%6]
+      lower band  tile(S.reshape(M,6).T, (N,1))[r,c] = S[cb][c%6, r%6]
+                  = (S[cb]^T)[r%6, c%6]  — exactly block (cb+1, cb).
+    """
+    N = D.shape[0]
+    M = N * 6
+    G = S.reshape(M, 6)
+    tiled_d = jnp.tile(D.reshape(M, 6), (1, N))
+    tiled_u = jnp.tile(G, (1, N))
+    tiled_l = jnp.tile(G.T, (N, 1))
+    rb = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) // 6
+    cb = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1) // 6
+    return (jnp.where(rb == cb, tiled_d, 0.0)
+            + jnp.where(cb == rb + 1, tiled_u, 0.0)
+            + jnp.where(rb == cb + 1, tiled_l, 0.0))
+
+
 def _between_parts(poses: jax.Array, bt_i, bt_j, bt_T, bt_winv):
     """Between-factor contributions in block form: (D (N,6,6) diagonal
     blocks, b2 (N,6) gradient blocks, Hij (E,6,6) off-diagonal blocks).
@@ -239,26 +269,47 @@ def _assemble_unary(poses: jax.Array, factors: FactorData, n_active):
     return _expand_block_diag(D), b2.reshape(-1)
 
 
-@jax.jit
-def _assemble(poses: jax.Array, factors: FactorData, n_active: jax.Array):
+@functools.partial(jax.jit, static_argnames=("chain_capacity",))
+def _assemble(poses: jax.Array, factors: FactorData, n_active: jax.Array,
+              chain_capacity: int = 0):
     """Dense H (6N,6N) and gradient b (6N,).
 
     All block-diagonal mass (between Hii/Hjj, GPS, priors, inactive
     padding) accumulates in (N,6,6) form and expands to dense ONCE
     (_expand_block_diag); only the off-diagonal between blocks scatter.
+
+    ``chain_capacity`` (static): the first ``chain_capacity`` between slots
+    are guaranteed CHAIN slots — either a consecutive edge (j == i+1) or
+    zero-weight padding (PoseGraph partitions its buffers this way).  Their
+    off-diagonal blocks are laid down as a block-tridiagonal band with NO
+    scatter (_expand_block_tridiag); only the remaining (loop-closure)
+    slots go through the serialized scatter.  0 = all slots scatter
+    (layout-agnostic fallback).
     """
     Db, bb, Hij = _between_parts(poses, factors.bt_i, factors.bt_j,
                                  factors.bt_T, factors.bt_winv)
     Du, bu = _unary_parts(poses, factors, n_active)
-    H = _expand_block_diag(Db + Du)
-    H = _add_offdiag(H, factors.bt_i, factors.bt_j, Hij)
+    C = chain_capacity
+    if C > 0:
+        # super-diagonal band blocks: segment-sum of the chain slots'
+        # Hij over i, as a one-hot MXU matmul (zero-weight padding slots
+        # contribute zero blocks; band placement only reads i)
+        N = poses.shape[0]
+        oc = _onehot(factors.bt_i[:C], N, poses.dtype)          # (N, C)
+        S = jnp.matmul(oc, Hij[:C].reshape(C, 36),
+                       precision=_HI).reshape(N, 6, 6)
+        H = _expand_block_tridiag(Db + Du, S)
+        H = _add_offdiag(H, factors.bt_i[C:], factors.bt_j[C:], Hij[C:])
+    else:
+        H = _expand_block_diag(Db + Du)
+        H = _add_offdiag(H, factors.bt_i, factors.bt_j, Hij)
     return H, (bb + bu).reshape(-1)
 
 
-@jax.jit
-def _lm_step(poses, factors, n_active, lam):
+@functools.partial(jax.jit, static_argnames=("chain_capacity",))
+def _lm_step(poses, factors, n_active, lam, chain_capacity: int = 0):
     """One damped step: returns (new_poses, new_cost)."""
-    H, b = _assemble(poses, factors, n_active)
+    H, b = _assemble(poses, factors, n_active, chain_capacity)
     # Levenberg damping scaled by the diagonal (Marquardt form); written as
     # a unique-index diagonal scatter — jnp.diag(jnp.diag(H)) + eye would
     # materialize two extra (6N,6N) passes
@@ -280,9 +331,10 @@ def _lm_step(poses, factors, n_active, lam):
     return new_poses, graph_cost(new_poses, factors)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "chain_capacity"))
 def marginal_covariances(poses: jax.Array, factors: FactorData,
-                         n_active: jax.Array, chunk: int = 64) -> jax.Array:
+                         n_active: jax.Array, chunk: int = 64,
+                         chain_capacity: int = 0) -> jax.Array:
     """Per-pose 6x6 marginal covariance blocks in the tangent frame [w, v].
 
     Parity with gtsam.Marginals(...).marginalCovariance(i) (reference
@@ -302,7 +354,8 @@ def marginal_covariances(poses: jax.Array, factors: FactorData,
     chunk = min(chunk, n)
     if n % chunk:
         raise ValueError(f"pose capacity {n} not divisible by chunk {chunk}")
-    H, _ = _assemble(poses, factors, jnp.asarray(n_active, dtype=jnp.int32))
+    H, _ = _assemble(poses, factors, jnp.asarray(n_active, dtype=jnp.int32),
+                     chain_capacity)
     H = H + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype)
     # Jacobi equilibration: the SLAM information matrix mixes rotation rows
     # (winv^2 ~ 1e6) with weak-prior rows (~1e-2), cond(H) ~ 1e8 — at f32
@@ -356,9 +409,10 @@ def lm_drive(step_fn, poses: jax.Array, cost0: float,
     return poses, cost
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit, static_argnames=("max_iterations",
+                                             "chain_capacity"))
 def _solve_graph_fused(poses, factors, n_active, lam0, tol,
-                       max_iterations: int):
+                       max_iterations: int, chain_capacity: int = 0):
     """The full LM accept/reject schedule of lm_drive inside ONE program.
 
     Host-looped LM costs one dispatch + host sync per iteration — through
@@ -375,7 +429,8 @@ def _solve_graph_fused(poses, factors, n_active, lam0, tol,
 
     def body(s):
         p, cost, lam, it, _ = s
-        cand, cand_cost = _lm_step(p, factors, n_active, lam)
+        cand, cand_cost = _lm_step(p, factors, n_active, lam,
+                                   chain_capacity)
         ok = jnp.isfinite(cand_cost) & (cand_cost < cost)
         improved = cost - cand_cost
         new_p = jnp.where(ok, cand, p)
@@ -394,14 +449,16 @@ def _solve_graph_fused(poses, factors, n_active, lam0, tol,
 
 def solve_graph(poses: jax.Array, factors: FactorData, n_active,
                 max_iterations: int = 15, lam0: float = 1e-6,
-                tol: float = 1e-7):
+                tol: float = 1e-7, chain_capacity: int = 0):
     """Batch LM solve, one device dispatch (see _solve_graph_fused).
 
     Returns (optimized poses, final cost).  Shapes are static, so repeated
     calls with a growing graph (same capacities) reuse the same executable.
+    ``chain_capacity``: see _assemble — pass PoseGraph.chain_capacity when
+    the factor buffers are chain-partitioned (scatter-free band assembly).
     """
     n_active = jnp.asarray(n_active, dtype=jnp.int32)
     poses, cost = _solve_graph_fused(poses, factors, n_active,
                                      jnp.float32(lam0), jnp.float32(tol),
-                                     max_iterations)
+                                     max_iterations, chain_capacity)
     return poses, float(cost)

@@ -15,6 +15,8 @@ HBM at capacity 16384.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,22 +27,76 @@ from lidar_slam_arvc_tpu.registration import (
 )
 from lidar_slam_arvc_tpu.utils.config import IcpConfig
 
+REGISTRATION_METHODS = ("icppointpoint", "icppointplane", "icp2planes",
+                        "fpfh")
+
+
+@functools.lru_cache(maxsize=8)
+def _replicated_gather_icp(mesh, params: ICPParams, method: str):
+    """Jitted gather+ICP over a GLOBALLY SHARDED scan store with fully
+    replicated outputs.  Multi-controller runs cannot fetch non-addressable
+    shards to the host, so the candidate gathers and the result layout must
+    both live inside one jitted program with explicit output sharding —
+    every process then holds the full (identical) result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+
+    def fn(points, masks, normals, si, ti, seeds):
+        res = icp_batch(points[si], masks[si], points[ti], masks[ti],
+                        normals[ti], seeds, params, method)
+        return res.transform, res.fitness
+
+    return jax.jit(fn, out_shardings=(rep, rep))
+
 
 class KeyframeStore:
     def __init__(self, directory: str, scan_times, voxel_size=None,
                  method: str = "icppointplane",
                  cfg: IcpConfig | None = None):
+        if method not in REGISTRATION_METHODS:
+            # the reference prints 'Unknown registration method' and returns
+            # None (keyframemanager.py:72-74); fail loudly instead
+            raise ValueError(f"unknown registration method {method!r}; "
+                             f"expected one of {REGISTRATION_METHODS}")
         self.directory = directory
         self.scan_times = np.asarray(scan_times)
         self.voxel_size = voxel_size
         self.method = method
         self.cfg = cfg or IcpConfig()
+        self.icp_params_override: ICPParams | None = None
         self.points = None
         self.mask = None
         self.normals = None
         self.ground_mask = None
         self.nonground_mask = None
         self.overflow = None   # (N,) voxels dropped per scan (capacity)
+
+    @classmethod
+    def from_arrays(cls, points, mask, normals, method: str = "icppointplane",
+                    cfg: IcpConfig | None = None, ground_mask=None,
+                    nonground_mask=None,
+                    icp_params: ICPParams | None = None) -> "KeyframeStore":
+        """Store backed by already-preprocessed stacked tensors (no dataset
+        directory) — the registration surface without the loading half.
+        Used by LoopCloser when callers hold raw tensors."""
+        store = cls.__new__(cls)
+        store.directory = None
+        store.scan_times = np.arange(points.shape[0])
+        store.voxel_size = None
+        if method not in REGISTRATION_METHODS:
+            raise ValueError(f"unknown registration method {method!r}; "
+                             f"expected one of {REGISTRATION_METHODS}")
+        store.method = method
+        store.cfg = cfg or IcpConfig()
+        store.icp_params_override = icp_params
+        store.points = points
+        store.mask = mask
+        store.normals = normals
+        store.ground_mask = ground_mask
+        store.nonground_mask = nonground_mask
+        store.overflow = None
+        store.n_loaded_locally = points.shape[0]
+        return store
 
     # -------------------------------------------------------------- loading
 
@@ -159,6 +215,8 @@ class KeyframeStore:
     # ------------------------------------------------------ registration
 
     def _icp_params(self) -> ICPParams:
+        if self.icp_params_override is not None:
+            return self.icp_params_override
         return ICPParams(
             max_correspondence_distance=self.cfg.distance_threshold,
             max_iterations=self.cfg.max_iterations,
@@ -175,13 +233,36 @@ class KeyframeStore:
 
     def compute_transformations_batch(self, pairs: np.ndarray,
                                       seeds: np.ndarray) -> np.ndarray:
-        """Registration for (B, 2) [target i, source j] pairs in one dispatch."""
+        """Registration for (B, 2) [target i, source j] pairs in one dispatch.
+
+        Dispatches the store's configured method — the 4-method surface of
+        reference keyframemanager.py:52-75 (compute_transformation), used by
+        both stage-1 matching callers and loop-closure candidate ICPs
+        (reference loopclosing.py:180 inherits the method the same way).
+        """
         assert self.loaded, "call load_and_preprocess first"
         pairs = np.asarray(pairs)
         ti = jnp.asarray(pairs[:, 0])
         si = jnp.asarray(pairs[:, 1])
         seeds_j = jnp.asarray(seeds, dtype=jnp.float32)
         params = self._icp_params()
+
+        if self.sharded and jax.process_count() > 1:
+            # multi-controller: store tensors are globally sharded
+            # jax.Arrays whose shards are NOT all addressable here — the
+            # gather and the result layout must live inside one jitted
+            # program with replicated output sharding
+            if self.method not in ("icppointplane", "icppointpoint"):
+                raise RuntimeError(
+                    f"method {self.method!r} is not supported on a "
+                    "multi-process sharded store (per-host loading covers "
+                    "icppointplane/icppointpoint only)")
+            fn = _replicated_gather_icp(
+                self._mesh, params,
+                "point_to_point" if self.method == "icppointpoint"
+                else "point_to_plane")
+            T, _ = fn(self.points, self.mask, self.normals, si, ti, seeds_j)
+            return np.asarray(T, dtype=np.float64)
 
         if self.method == "icppointpoint":
             res = icp_batch(self.points[si], self.mask[si], self.points[ti],

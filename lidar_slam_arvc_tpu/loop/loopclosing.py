@@ -11,39 +11,23 @@ min-branch Euler norm < 0.05 rad, loopclosing.py:119-129).
 
 TPU restructuring: the candidate search is vectorized numpy (host control
 logic), and the per-triplet ICPs — the expensive part the reference runs
-sequentially (loopclosing.py:80-97) — are batched into a single
-``icp_batch`` dispatch over all sampled triplet pairs.  Candidate sampling
-uses an explicit seeded Generator instead of global np.random
-(loopclosing.py:78), keeping runs deterministic.
+sequentially (loopclosing.py:80-97) — are batched into a single dispatch
+over all sampled triplet pairs, routed through the KeyframeStore's
+4-method registration surface (keyframes/store.py) exactly as the
+reference's loop closures inherit the configured method via
+keyframe_manager.compute_transformation (loopclosing.py:180 ->
+keyframemanager.py:60-72).  Candidate sampling uses an explicit seeded
+Generator instead of global np.random (loopclosing.py:78), keeping runs
+deterministic.
 """
 
 from __future__ import annotations
 
-import functools
+import time as _time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from lidar_slam_arvc_tpu.registration import ICPParams, icp_batch
-
-
-@functools.lru_cache(maxsize=8)
-def _replicated_gather_icp(mesh, params: ICPParams, method: str):
-    """Jitted gather+ICP over a GLOBALLY SHARDED scan store with fully
-    replicated outputs.  Multi-controller runs cannot fetch non-addressable
-    shards to the host, so the candidate gathers and the result layout must
-    both live inside one jitted program with explicit output sharding —
-    every process then holds the full (identical) result."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    rep = NamedSharding(mesh, P())
-
-    def fn(points, masks, normals, si, ti, seeds):
-        res = icp_batch(points[si], masks[si], points[ti], masks[ti],
-                        normals[ti], seeds, params, method)
-        return res.transform, res.fitness
-
-    return jax.jit(fn, out_shardings=(rep, rep))
+from lidar_slam_arvc_tpu.registration import ICPParams
 
 
 def _rot_to_euler_both_np(R: np.ndarray):
@@ -62,27 +46,43 @@ def _rot_to_euler_both_np(R: np.ndarray):
 
 
 class LoopCloser:
-    def __init__(self, graph, scan_points, scan_masks, scan_normals,
+    def __init__(self, graph, store, scan_masks=None, scan_normals=None,
                  distance_backwards: float = 7.0,
                  radius_threshold: float = 5.0,
                  icp_params: ICPParams | None = None,
-                 method: str = "point_to_plane", seed: int = 0,
-                 mesh=None):
-        """graph: PoseGraph; scan_*: stacked preprocessed scans (device).
+                 method: str | None = None, seed: int = 0):
+        """graph: PoseGraph; store: KeyframeStore holding the preprocessed
+        scans — candidate ICPs dispatch the store's configured registration
+        method (the reference's loop closures inherit the method the same
+        way, loopclosing.py:180 -> keyframemanager.py:60-72).
 
-        ``mesh``: when the scan store is a globally sharded jax.Array
-        (multi-controller per-host loading), pass its mesh so candidate
-        ICPs run through the replicated-output jitted gather."""
+        For callers holding raw stacked tensors, ``store`` may instead be
+        the (N, CAP, 3) points array with ``scan_masks``/``scan_normals``
+        following — wrapped into an array-backed store.  ``method`` then
+        selects the estimator ('icppointplane' default; the legacy
+        'point_to_plane'/'point_to_point' aliases are accepted)."""
+        from lidar_slam_arvc_tpu.keyframes import KeyframeStore
+        if not isinstance(store, KeyframeStore):
+            alias = {"point_to_plane": "icppointplane", None: "icppointplane",
+                     "point_to_point": "icppointpoint"}
+            store = KeyframeStore.from_arrays(
+                store, scan_masks, scan_normals,
+                method=alias.get(method, method), icp_params=icp_params)
+        else:
+            assert scan_masks is None and scan_normals is None
+            if icp_params is not None:
+                store.icp_params_override = icp_params
         self.graph = graph
-        self.mesh = mesh
-        self.scan_points = scan_points
-        self.scan_masks = scan_masks
-        self.scan_normals = scan_normals
+        self.store = store
         self.distance_backwards = distance_backwards
         self.radius_threshold = radius_threshold
-        self.icp_params = icp_params or ICPParams()
-        self.method = method
         self.rng = np.random.default_rng(seed)
+        # per-phase cost accounting, surfaced in the stage-2 profile
+        # artifact (candidate search is host control flow; the ICP is
+        # device dispatches)
+        self.timings = {"candidate_search_seconds": 0.0,
+                        "icp_seconds": 0.0, "icp_dispatches": 0,
+                        "icp_pairs": 0}
 
     # ------------------------------------------------- candidate search
 
@@ -157,20 +157,12 @@ class LoopCloser:
             Tj = est[j] @ T0g_inv
             seeds[k] = (np.linalg.inv(Ti) @ Tj).astype(np.float32)
 
-        si = jnp.asarray(padded[:, 1])  # source = scan j
-        ti = jnp.asarray(padded[:, 0])  # target = scan i
-        if self.mesh is not None and jax.process_count() > 1:
-            fn = _replicated_gather_icp(self.mesh, self.icp_params,
-                                        self.method)
-            T_dev, _ = fn(self.scan_points, self.scan_masks,
-                          self.scan_normals, si, ti, jnp.asarray(seeds))
-            T = np.asarray(T_dev, dtype=np.float64)[:n]
-        else:
-            res = icp_batch(self.scan_points[si], self.scan_masks[si],
-                            self.scan_points[ti], self.scan_masks[ti],
-                            self.scan_normals[ti], jnp.asarray(seeds),
-                            self.icp_params, self.method)
-            T = np.asarray(res.transform, dtype=np.float64)[:n]
+        # [target i, source j] pairs — the store's batch convention matches
+        t0 = _time.time()
+        T = self.store.compute_transformations_batch(padded, seeds)[:n]
+        self.timings["icp_seconds"] += _time.time() - t0
+        self.timings["icp_dispatches"] += 1
+        self.timings["icp_pairs"] += int(cap)
         return np.einsum("ij,njk,kl->nil", T0g_inv, T, T0g)
 
     # ------------------------------------------------------- public API
@@ -206,7 +198,9 @@ class LoopCloser:
     def loop_closing_triangle(self, current_index: int,
                               number_of_triplets: int) -> list:
         """(reference loopclosing.py:58-100); returns accepted [i, j] pairs."""
+        t0 = _time.time()
         triplets = self.find_feasible_triplets(current_index)
+        self.timings["candidate_search_seconds"] += _time.time() - t0
         if not triplets:
             return []
         n = min(len(triplets), number_of_triplets)

@@ -21,7 +21,6 @@ from lidar_slam_arvc_tpu.graph import PoseGraph
 from lidar_slam_arvc_tpu.io import EurocDataset, filter_gps, gps2utm
 from lidar_slam_arvc_tpu.io.euroc import trajectory_from_df
 from lidar_slam_arvc_tpu.loop import LoopCloser
-from lidar_slam_arvc_tpu.registration import ICPParams
 from lidar_slam_arvc_tpu.utils.config import IcpConfig
 
 
@@ -117,10 +116,15 @@ def _run_graphslam(directory, cfg, progress, compiles):
     t_store0 = time.time()
     if loops_enabled:
         # full-resolution clouds for loop-closure ICP (voxel None —
-        # run_graphSLAM.py:224); preprocessed once, batched
+        # run_graphSLAM.py:224); preprocessed once, batched.  The store
+        # carries the CONFIGURED registration method — loop closures
+        # dispatch it exactly as the reference's inherit it through
+        # keyframe_manager.compute_transformation (loopclosing.py:180 ->
+        # keyframemanager.py:60-72), incl. icp2planes ground/non-ground
+        # masks and fpfh.
         from lidar_slam_arvc_tpu.keyframes import KeyframeStore
         store = KeyframeStore(directory, scan_times, voxel_size=None,
-                              method="icppointplane", cfg=cfg)
+                              method=method, cfg=cfg)
         # multi-controller: loads only this host's scan block and holds
         # globally sharded tensors (KeyframeStore.load_and_preprocess)
         store.load_and_preprocess()
@@ -129,16 +133,9 @@ def _run_graphslam(directory, cfg, progress, compiles):
             # keyframes; candidate-pair gathers become XLA collectives
             store.shard(mesh)
         closer = LoopCloser(
-            graph, store.points, store.mask, store.normals,
+            graph, store,
             distance_backwards=distance_backwards,
-            radius_threshold=radius_threshold,
-            icp_params=ICPParams(
-                max_correspondence_distance=cfg.distance_threshold,
-                max_iterations=cfg.max_iterations,
-                source_stride=cfg.source_stride),
-            method=("point_to_point" if method == "icppointpoint"
-                    else "point_to_plane"),
-            mesh=getattr(store, "_mesh", None))
+            radius_threshold=radius_threshold)
         store_loaded_locally = store.n_loaded_locally
     else:
         closer = None
@@ -148,6 +145,7 @@ def _run_graphslam(directory, cfg, progress, compiles):
     corr_indexes = []
     loop_closures = []
     n_optimizations = 0
+    optimize_seconds = 0.0
     t0 = time.time()
     for i in range(len(sm_rel)):
         current_time = scan_times[i]
@@ -165,7 +163,9 @@ def _run_graphslam(directory, cfg, progress, compiles):
             graph.add_edge(odo_rel[i], i, i + 1, "ODO")
 
         if i % skip_optimization == 0:
+            t_opt = time.time()
             graph.optimize()
+            optimize_seconds += time.time() - t_opt
             n_optimizations += 1
 
         if loops_enabled and ((i % skip_loop_closing) == 0
@@ -173,7 +173,9 @@ def _run_graphslam(directory, cfg, progress, compiles):
             part = closer.loop_closing_triangle(i, n_triplets)
             loop_closures.append(part)
             if part:
+                t_opt = time.time()
                 graph.optimize()
+                optimize_seconds += time.time() - t_opt
                 n_optimizations += 1
         if progress:
             print(f"\rgraphSLAM step {i + 1}/{len(sm_rel)} "
@@ -182,7 +184,10 @@ def _run_graphslam(directory, cfg, progress, compiles):
     if progress:
         print()
 
+    t_opt = time.time()
     graph.optimize(max_iterations=30)
+    optimize_seconds += time.time() - t_opt
+    n_optimizations += 1
 
     solution_lidar = graph.get_solution_transforms_lidar()[:n]
     # multi-controller runs share the dataset directory: one writer
@@ -203,6 +208,7 @@ def _run_graphslam(directory, cfg, progress, compiles):
     # Only the optional matplotlib rendering is allowed to degrade, and the
     # degradation is recorded in the profile JSON.
     uncertainty_error = None
+    t_marg = time.time()
     skip = max(n // 64, 1)
     if graph.max_poses <= 1024:
         covs = graph.marginal_covariances()
@@ -211,6 +217,7 @@ def _run_graphslam(directory, cfg, progress, compiles):
         blocks = graph.marginal_covariances(indices=idx)
         covs = np.zeros((graph.n_poses, 6, 6))
         covs[idx] = blocks
+    marginals_seconds = time.time() - t_marg
     if is_writer:
         try:
             from lidar_slam_arvc_tpu.viz import (
@@ -218,6 +225,16 @@ def _run_graphslam(directory, cfg, progress, compiles):
             plot_trajectory_with_uncertainty(
                 graph.current_estimate, covs,
                 f"{directory}/robot0/SLAM/uncertainty.png", skip=skip)
+            # GPS-vs-estimate comparison with correspondence segments —
+            # the reference renders this live during optimization
+            # (graphSLAM.py:183-209 plot_compare_GPS, called at
+            # run_graphSLAM.py:256-267); shipped as the end-of-stage
+            # artifact beside uncertainty.png
+            if df_gps is not None:
+                from lidar_slam_arvc_tpu.viz import plot_gps_comparison
+                plot_gps_comparison(
+                    graph.current_estimate, df_gps, corr_indexes,
+                    f"{directory}/robot0/SLAM/gps_comparison.png")
         except (ImportError, OSError) as exc:  # headless plotting only
             uncertainty_error = f"{type(exc).__name__}: {exc}"
             if progress:
@@ -229,15 +246,33 @@ def _run_graphslam(directory, cfg, progress, compiles):
     # scanmatcher_profile.json (SURVEY.md §5: tracing as first-class)
     import json
     import os
+    loop_t = closer.timings if closer is not None else {
+        "candidate_search_seconds": 0.0, "icp_seconds": 0.0,
+        "icp_dispatches": 0, "icp_pairs": 0}
+    # per-phase cost breakdown of the solve+loop wall (VERDICT r4 ask 1:
+    # which of candidate search / loop ICP / LM optimizes / marginals /
+    # host bookkeeping dominates stage 2)
+    host_other = (seconds - optimize_seconds - marginals_seconds
+                  - loop_t["candidate_search_seconds"]
+                  - loop_t["icp_seconds"])
     profile = {
         "store_load_preprocess_seconds": round(store_seconds, 4),
         "solve_loop_seconds": round(seconds, 4),
+        "optimize_seconds": round(optimize_seconds, 4),
+        "loop_candidate_search_seconds":
+            round(loop_t["candidate_search_seconds"], 4),
+        "loop_icp_seconds": round(loop_t["icp_seconds"], 4),
+        "loop_icp_dispatches": int(loop_t["icp_dispatches"]),
+        "loop_icp_pairs": int(loop_t["icp_pairs"]),
+        "marginals_seconds": round(marginals_seconds, 4),
+        "host_other_seconds": round(host_other, 4),
         "poses": int(n),
         "optimizations": int(n_optimizations),
         "loop_closing_rounds": int(len(loop_closures)),
         "loop_closures_accepted": int(n_loops),
         "gps_factors": int(len(corr_indexes)),
         "solver": graph.auto_solver(),
+        "method": method,
         "uncertainty_error": uncertainty_error,
         "mesh_devices": int(cfg.mesh_devices),
         "process_count": int(jax.process_count()),

@@ -608,7 +608,10 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
         "capacity": int(cfg.capacity),
         "scans_over_capacity": int((overflow > 0).sum()),
         "voxels_dropped_total": int(overflow.sum()),
-        "mesh_devices": int(cfg.mesh_devices),
+        # multihost runs replace cfg.mesh_devices with the 0 ("all
+        # devices") sentinel; record the ACTUAL mesh size
+        "mesh_devices": int(mesh.size) if multihost_mode
+        else int(cfg.mesh_devices),
         "shard_scans": bool(cfg.shard_scans),
         "process_count": int(jax.process_count()),
         "scans_loaded_locally": int(n_loaded_locally),
@@ -617,22 +620,33 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
         **compiles.report(),
     }
     # multi-controller runs share the dataset directory: one writer
+    write_error = None
     if jax.process_index() == 0:
-        euroc.save_sensor_times_as_csv(
-            scan_times, "/robot0/scanmatcher/lidar_times.csv")
-        euroc.save_transforms_as_csv(
-            scan_times, rel_sm, "/robot0/scanmatcher/scanmatcher_relative.csv")
-        euroc.save_transforms_as_csv(
-            scan_times, T_global, "/robot0/scanmatcher/scanmatcher_global.csv")
-        os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
-        with open(f"{directory}/robot0/viz/scanmatcher_profile.json",
-                  "w") as f:
-            json.dump(profile, f, indent=2)
+        try:
+            euroc.save_sensor_times_as_csv(
+                scan_times, "/robot0/scanmatcher/lidar_times.csv")
+            euroc.save_transforms_as_csv(
+                scan_times, rel_sm,
+                "/robot0/scanmatcher/scanmatcher_relative.csv")
+            euroc.save_transforms_as_csv(
+                scan_times, T_global,
+                "/robot0/scanmatcher/scanmatcher_global.csv")
+            os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
+            with open(f"{directory}/robot0/viz/scanmatcher_profile.json",
+                      "w") as f:
+                json.dump(profile, f, indent=2)
+        except Exception as exc:
+            # a writer failure must not leave the other processes hanging
+            # in the barrier until the collective timeout — reach it, then
+            # re-raise (non-writers fail fast on the missing CSVs instead)
+            write_error = exc
     if jax.process_count() > 1:
         # other processes must not race ahead into stage 2 (which READS
         # these CSVs) before the writer finishes
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("scanmatcher_csvs_written")
+    if write_error is not None:
+        raise write_error
     return {"scan_times": scan_times, "relative": rel_sm,
             "global": T_global, "icp_seconds": icp_seconds,
             "scans_loaded_locally": int(n_loaded_locally),

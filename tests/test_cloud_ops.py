@@ -253,6 +253,14 @@ class TestCompact:
         d, _ = tree.query(out_pts)
         return d.max()
 
+    def test_out_capacity_exceeding_input_rejected(self, rng):
+        # growing a cloud is not compaction's job: an oversized out_capacity
+        # must raise a clear ValueError, not a shape-mismatch deep in jnp
+        c = cl.from_numpy(rng.normal(size=(32, 3)).astype(np.float32),
+                          capacity=64)
+        with pytest.raises(ValueError, match="out_capacity"):
+            cl.compact_counted(c, out_capacity=128)
+
     def test_35m_scan_points_are_subset(self, rng):
         # the crop bound regime (keyframe.py:74-94 semantics, max_radius 35)
         pts = rng.uniform(-35, 35, size=(4000, 3)).astype(np.float32)

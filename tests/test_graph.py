@@ -195,6 +195,80 @@ class TestAssembleOracle:
         np.testing.assert_allclose(b / bs, b64 / bs, atol=1e-6)
 
 
+class TestChainBandAssembly:
+    """The chain-partitioned scatter-free band assembly (r5: consecutive
+    SM+ODO edges laid down as a block-tridiagonal band, only loop edges
+    scatter) must be BITWISE identical to the all-scatter assembly."""
+
+    def _graph(self, n=40, cap=64):
+        rng = np.random.default_rng(3)
+        T_gt = synthetic.make_trajectory(n, radius=6.0)
+        g = PoseGraph(max_poses=cap, max_between=256, max_gps=cap)
+        g.init_graph()
+        for i in range(n - 1):
+            rel = np.linalg.inv(T_gt[i]) @ T_gt[i + 1]
+            rel[:3, 3] += rng.normal(scale=0.02, size=3)
+            g.add_initial_estimate(rel, i + 1)
+            g.add_edge(rel, i, i + 1, "SM")
+            g.add_edge(rel, i, i + 1, "ODO")
+        # loop closures (scatter partition) + duplicated (i, j) pair
+        g.add_edge(np.linalg.inv(T_gt[2]) @ T_gt[n - 3], 2, n - 3, "SM")
+        g.add_edge(np.linalg.inv(T_gt[2]) @ T_gt[n - 3], 2, n - 3, "SM")
+        g.add_gps_factor(*T_gt[0][:3, 3], 0)
+        return g, T_gt
+
+    def test_band_assembly_bitwise_matches_scatter(self):
+        from lidar_slam_arvc_tpu.graph.solver import _assemble
+        g, _ = self._graph()
+        assert g.n_chain == 78 and g.n_loop == 2
+        poses = jnp.asarray(g.poses)
+        fd = g._factor_data()
+        H0, b0 = _assemble(poses, fd, jnp.int32(g.n_poses), 0)
+        H1, b1 = _assemble(poses, fd, jnp.int32(g.n_poses),
+                           g.chain_capacity)
+        assert float(jnp.abs(H1 - H0).max()) == 0.0
+        assert float(jnp.abs(b1 - b0).max()) == 0.0
+
+    def test_partitioned_solve_matches_unpartitioned(self):
+        from lidar_slam_arvc_tpu.graph.solver import solve_graph
+        g, T_gt = self._graph()
+        poses = jnp.asarray(g.poses)
+        fd = g._factor_data()
+        p0, c0 = solve_graph(poses, fd, g.n_poses, chain_capacity=0)
+        p1, c1 = solve_graph(poses, fd, g.n_poses,
+                             chain_capacity=g.chain_capacity)
+        assert abs(c1 - c0) <= 1e-6 * max(abs(c0), 1.0)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   atol=1e-6)
+
+    def test_chain_overflow_routes_to_scatter_partition(self):
+        # more consecutive edges than the chain partition holds must not
+        # error — they spill into the scatter partition, same numerics
+        from lidar_slam_arvc_tpu.graph.solver import _assemble
+        g = PoseGraph(max_poses=8, max_between=8, max_gps=4)
+        g.init_graph()
+        rel = np.eye(4)
+        rel[0, 3] = 1.0
+        for _ in range(3):                       # 3x duplicated chain edge
+            for i in range(2):
+                g.add_edge(rel, i, i + 1, "SM")
+        assert g.n_chain == g.chain_capacity  # partition full
+        assert g.n_loop == 6 - g.chain_capacity
+        fd = g._factor_data()
+        poses = jnp.asarray(g.poses)
+        H0, b0 = _assemble(poses, fd, jnp.int32(3), 0)
+        H1, b1 = _assemble(poses, fd, jnp.int32(3), g.chain_capacity)
+        assert float(jnp.abs(H1 - H0).max()) == 0.0
+
+    def test_loop_capacity_exhaustion_raises(self):
+        g = PoseGraph(max_poses=8, max_between=8, max_gps=4)
+        g.init_graph()
+        rel = np.eye(4)
+        with pytest.raises(RuntimeError, match="capacity exceeded"):
+            for _ in range(9):
+                g.add_edge(rel, 0, 5, "SM")      # all non-consecutive
+
+
 class TestBCR:
     def test_matches_dense_solve(self):
         """Cyclic-reduction solve of random SPD block-tridiagonal systems

@@ -1,0 +1,331 @@
+"""Golden parity tests against the reference's RUNNABLE pure-Python layers.
+
+The reference's heavy numerics live in uninstallable C++ wheels (Open3D,
+GTSAM — see BASELINE.md; tests/test_reference_golden.py skips here), but its
+pure-Python layers import fine from /root/reference in this sandbox:
+`artelib` (numpy-only rotation/SE(3) algebra), `eurocreader.eurocreader`
+(pandas CSV serialization + time association) and `tools.sampling`
+(samplers).  These tests run the REFERENCE CODE ITSELF as the oracle over
+randomized inputs — the only reference-code parity obtainable offline:
+
+- rot2quaternion / rot2euler / euler2rot / quaternion2rot
+  (reference artelib/tools.py:92-277) vs geom.hostmath + compat
+- trajectory algebra (homogeneousmatrix.py:147-212) vs compat
+- sample_times / sample_odometry (tools/sampling.py:8-58) vs io/sampling
+- BYTE-IDENTICAL CSVs from EurocReader.save_transforms_as_csv /
+  save_sensor_times_as_csv / save_loop_closures_as_csv
+  (eurocreader.py:46-100) vs io/euroc.py on the same trajectories
+- get_closest_times association (eurocreader.py:128-144) vs io/euroc.py
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE),
+    reason="reference checkout not present at /root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Reference modules imported from /root/reference (appended to
+    sys.path so nothing in this repo can be shadowed)."""
+    from types import SimpleNamespace
+    if REFERENCE not in sys.path:
+        sys.path.append(REFERENCE)
+    import artelib.homogeneousmatrix as hm
+    import artelib.quaternion as quaternion
+    import artelib.tools as tools
+    import tools.sampling as sampling
+    from eurocreader.eurocreader import EurocReader
+    return SimpleNamespace(tools=tools, hm=hm, quaternion=quaternion,
+                           sampling=sampling, EurocReader=EurocReader)
+
+
+def random_rotations(n: int, seed: int = 0) -> np.ndarray:
+    from scipy.spatial.transform import Rotation as SR
+    return SR.random(n, random_state=seed).as_matrix()
+
+
+def random_trajectory_df(n: int, seed: int = 0) -> pd.DataFrame:
+    """A EUROC-schema pose dataframe with normalized wxyz quaternions."""
+    rng = np.random.default_rng(seed)
+    from scipy.spatial.transform import Rotation as SR
+    q_xyzw = SR.random(n, random_state=seed + 1).as_quat()
+    q = np.concatenate([q_xyzw[:, 3:], q_xyzw[:, :3]], axis=1)  # wxyz
+    xyz = rng.normal(scale=20.0, size=(n, 3))
+    t = (1_600_000_000_000_000_000
+         + np.cumsum(rng.integers(10**8, 10**9, size=n)))
+    return pd.DataFrame({
+        "#timestamp [ns]": t, "x": xyz[:, 0], "y": xyz[:, 1],
+        "z": xyz[:, 2], "qx": q[:, 1], "qy": q[:, 2], "qz": q[:, 3],
+        "qw": q[:, 0]})
+
+
+class TestRotationConversions:
+    def test_rot2quaternion(self, ref):
+        """hostmath.rot_to_quat_np == reference rot2quaternion
+        (artelib/tools.py:110-172), element-for-element incl. the
+        mod_sign branch choice."""
+        from lidar_slam_arvc_tpu.geom.hostmath import rot_to_quat_np
+        Rs = random_rotations(300)
+        ours = rot_to_quat_np(Rs)
+        for k, R in enumerate(Rs):
+            golden = ref.tools.rot2quaternion(R.copy())
+            np.testing.assert_allclose(ours[k], golden, atol=1e-12,
+                                       err_msg=f"rotation {k}")
+
+    def test_rot2quaternion_via_compat(self, ref):
+        from lidar_slam_arvc_tpu.compat import RotationMatrix
+        Rs = random_rotations(50, seed=3)
+        for R in Rs:
+            golden = ref.tools.rot2quaternion(R.copy())
+            ours = RotationMatrix(R).Q().toarray()
+            np.testing.assert_allclose(ours, golden, atol=1e-12)
+
+    def test_quaternion2rot(self, ref):
+        from lidar_slam_arvc_tpu.geom.hostmath import quat_to_rot_np
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(200, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        ours = quat_to_rot_np(q)
+        for k in range(len(q)):
+            golden = ref.tools.quaternion2rot(q[k])
+            np.testing.assert_allclose(ours[k], golden, atol=1e-12)
+
+    def test_rot2euler_both_branches(self, ref):
+        """compat._rot_to_euler_both_np == reference rot2euler
+        (artelib/tools.py:241-275), BOTH branch solutions."""
+        from lidar_slam_arvc_tpu.compat import _rot_to_euler_both_np
+        Rs = random_rotations(300, seed=7)
+        for k, R in enumerate(Rs):
+            # the reference MUTATES R in place (clips R[0,2]) — pass a copy
+            g1, g2 = ref.tools.rot2euler(R.copy())
+            e1, e2 = _rot_to_euler_both_np(R)
+            np.testing.assert_allclose(e1, g1, atol=1e-12,
+                                       err_msg=f"branch 1, rotation {k}")
+            np.testing.assert_allclose(e2, g2, atol=1e-12,
+                                       err_msg=f"branch 2, rotation {k}")
+
+    def test_rot2euler_gimbal_lock(self, ref):
+        """The degenerate |R02|=1 branch (artelib/tools.py:259-271)."""
+        from lidar_slam_arvc_tpu.compat import _rot_to_euler_both_np
+        for beta in (np.pi / 2, -np.pi / 2):
+            for gamma in (0.0, 0.4, -1.1):
+                R = (ref.tools.euler2rot([0.0, beta, gamma]))
+                g1, g2 = ref.tools.rot2euler(R.copy())
+                e1, e2 = _rot_to_euler_both_np(R)
+                np.testing.assert_allclose(e1, g1, atol=1e-9)
+                np.testing.assert_allclose(e2, g2, atol=1e-9)
+
+    def test_euler2rot(self, ref):
+        from lidar_slam_arvc_tpu.compat import Euler
+        rng = np.random.default_rng(11)
+        for abg in rng.uniform(-np.pi, np.pi, size=(100, 3)):
+            golden = ref.tools.euler2rot(abg)
+            ours = Euler(abg).R().toarray()
+            np.testing.assert_allclose(ours, golden, atol=1e-12)
+
+
+class TestTrajectoryAlgebra:
+    """homogeneousmatrix.py:147-212 free functions vs compat."""
+
+    def test_compute_homogeneous_transforms(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        df = random_trajectory_df(40)
+        golden = ref.hm.compute_homogeneous_transforms(df)
+        ours = compat.compute_homogeneous_transforms(df)
+        assert len(ours) == len(golden)
+        for a, b in zip(ours, golden):
+            np.testing.assert_allclose(a.toarray(), b.toarray(), atol=1e-12)
+
+    def test_compute_relative_transformations(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        df = random_trajectory_df(25, seed=2)
+        golden_g = ref.hm.compute_homogeneous_transforms(df)
+        ours_g = compat.compute_homogeneous_transforms(df)
+        golden = ref.hm.compute_relative_transformations(golden_g)
+        ours = compat.compute_relative_transformations(ours_g)
+        assert len(ours) == len(golden) == len(df) - 1
+        for a, b in zip(ours, golden):
+            np.testing.assert_allclose(a.toarray(), b.toarray(), atol=1e-10)
+
+    def test_compute_global_transformations(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        df = random_trajectory_df(25, seed=4)
+        rel_ref = ref.hm.compute_relative_transformations(
+            ref.hm.compute_homogeneous_transforms(df))
+        rel_ours = compat.compute_relative_transformations(
+            compat.compute_homogeneous_transforms(df))
+        T0_ref = ref.hm.HomogeneousMatrix(np.eye(4))
+        Tg_arr = random_rotations(1, seed=9)[0]
+        Trobot_gps = np.eye(4)
+        Trobot_gps[:3, :3] = Tg_arr
+        Trobot_gps[:3, 3] = (0.3, -0.1, 0.2)
+        golden = ref.hm.compute_global_transformations(
+            rel_ref, T0_ref, ref.hm.HomogeneousMatrix(Trobot_gps))
+        ours = compat.compute_global_transformations(
+            rel_ours, compat.HomogeneousMatrix(np.eye(4)),
+            compat.HomogeneousMatrix(Trobot_gps))
+        assert len(ours) == len(golden) == len(df)
+        for a, b in zip(ours, golden):
+            np.testing.assert_allclose(a.toarray(), b.toarray(), atol=1e-9)
+
+    def test_multiply_by_transform(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        df = random_trajectory_df(10, seed=6)
+        g_ref = ref.hm.compute_homogeneous_transforms(df)
+        g_ours = compat.compute_homogeneous_transforms(df)
+        Trel = np.eye(4)
+        Trel[:3, 3] = (1.0, 2.0, -0.5)
+        golden = ref.hm.multiply_by_transform(
+            g_ref, ref.hm.HomogeneousMatrix(Trel))
+        ours = compat.multiply_by_transform(
+            g_ours, compat.HomogeneousMatrix(Trel))
+        for a, b in zip(ours, golden):
+            np.testing.assert_allclose(a.toarray(), b.toarray(), atol=1e-12)
+
+    def test_homogeneous_matrix_algebra(self, ref):
+        """compose / inv / t2v against the reference class itself."""
+        import lidar_slam_arvc_tpu.compat as compat
+        Rs = random_rotations(20, seed=13)
+        rng = np.random.default_rng(14)
+        for k in range(0, 20, 2):
+            A = np.eye(4)
+            A[:3, :3] = Rs[k]
+            A[:3, 3] = rng.normal(size=3)
+            B = np.eye(4)
+            B[:3, :3] = Rs[k + 1]
+            B[:3, 3] = rng.normal(size=3)
+            ra, rb = ref.hm.HomogeneousMatrix(A), ref.hm.HomogeneousMatrix(B)
+            ca, cb = compat.HomogeneousMatrix(A), compat.HomogeneousMatrix(B)
+            np.testing.assert_allclose((ca * cb).toarray(),
+                                       (ra * rb).toarray(), atol=1e-12)
+            np.testing.assert_allclose(ca.inv().toarray(),
+                                       ra.inv().toarray(), atol=1e-12)
+            np.testing.assert_allclose(ca.t2v(n=3), ra.t2v(n=3), atol=1e-12)
+
+
+class TestSamplers:
+    def test_sample_times(self, ref):
+        """io.sampling.sample_times == reference tools/sampling.py:39-58."""
+        from lidar_slam_arvc_tpu.io.sampling import sample_times
+        rng = np.random.default_rng(21)
+        times = (1_600_000_000_000_000_000
+                 + np.cumsum(rng.integers(5 * 10**7, 5 * 10**8, size=400)))
+        for start, dt in ((10, 1e9), (0, 5e8), (25, 2.5e9)):
+            golden = ref.sampling.sample_times(times, start_index=start,
+                                               delta_time=dt)
+            ours = sample_times(times, start_index=start, delta_time=dt)
+            np.testing.assert_array_equal(ours, golden)
+
+    def test_sample_odometry(self, ref):
+        """io.sampling.sample_odometry == reference tools/sampling.py:8-36
+        (kept times AND kept rows)."""
+        from lidar_slam_arvc_tpu.io.sampling import sample_odometry
+        rng = np.random.default_rng(22)
+        n = 120
+        # a wandering planar trajectory with yaw drift so both gates fire
+        steps = rng.normal(scale=0.3, size=(n, 2)).cumsum(axis=0)
+        yaw = rng.normal(scale=0.12, size=n).cumsum()
+        df = pd.DataFrame({
+            "#timestamp [ns]": 10**9 * np.arange(n) + 5,
+            "x": steps[:, 0], "y": steps[:, 1], "z": np.zeros(n),
+            "qx": np.zeros(n), "qy": np.zeros(n),
+            "qz": np.sin(yaw / 2), "qw": np.cos(yaw / 2)})
+        golden_times, golden_df = ref.sampling.sample_odometry(
+            df, deltaxy=0.5, deltath=0.2)
+        ours_times, ours_df = sample_odometry(df, deltaxy=0.5, deltath=0.2)
+        np.testing.assert_array_equal(ours_times, golden_times)
+        assert len(ours_df) == len(golden_df)
+        for col in ("x", "y", "z", "qx", "qy", "qz", "qw"):
+            np.testing.assert_allclose(
+                ours_df[col].to_numpy(dtype=np.float64),
+                golden_df[col].to_numpy(dtype=np.float64), atol=0)
+
+
+class TestCsvSerialization:
+    """The interop contract: our CSVs must be byte-compatible with the
+    reference's (eurocreader.py:46-100) so either stage of either pipeline
+    can consume the other's artifacts."""
+
+    def _transforms(self, n=30, seed=31):
+        df = random_trajectory_df(n, seed=seed)
+        from lidar_slam_arvc_tpu.geom.hostmath import (
+            transforms_from_pose_columns_np)
+        xyz = df[["x", "y", "z"]].to_numpy(dtype=np.float64)
+        q = df[["qw", "qx", "qy", "qz"]].to_numpy(dtype=np.float64)
+        return df["#timestamp [ns]"].to_numpy(), \
+            transforms_from_pose_columns_np(xyz, q)
+
+    def test_save_transforms_byte_identical(self, ref, tmp_path):
+        from lidar_slam_arvc_tpu.io import EurocDataset
+        times, T = self._transforms()
+        ref_dir = tmp_path / "ref"
+        our_dir = tmp_path / "ours"
+        ref_dir.mkdir()
+        our_dir.mkdir()
+        golden_T = [ref.hm.HomogeneousMatrix(T[i]) for i in range(len(T))]
+        ref.EurocReader(str(ref_dir)).save_transforms_as_csv(
+            times, golden_T, "/traj.csv")
+        EurocDataset(str(our_dir)).save_transforms_as_csv(
+            times, T, "/traj.csv")
+        a = (ref_dir / "traj.csv").read_bytes()
+        b = (our_dir / "traj.csv").read_bytes()
+        assert a == b, "transform CSV bytes differ from the reference's"
+
+    def test_save_sensor_times_byte_identical(self, ref, tmp_path):
+        from lidar_slam_arvc_tpu.io import EurocDataset
+        times, _ = self._transforms(seed=33)
+        ref_dir = tmp_path / "ref"
+        our_dir = tmp_path / "ours"
+        ref_dir.mkdir()
+        our_dir.mkdir()
+        ref.EurocReader(str(ref_dir)).save_sensor_times_as_csv(
+            times, "/times.csv")
+        EurocDataset(str(our_dir)).save_sensor_times_as_csv(
+            times, "/times.csv")
+        assert (ref_dir / "times.csv").read_bytes() == \
+            (our_dir / "times.csv").read_bytes()
+
+    def test_save_loop_closures_byte_identical(self, ref, tmp_path):
+        from lidar_slam_arvc_tpu.io import EurocDataset
+        closures = [[[5, 1], [5, 2]], None, [], [[9, 3]]]
+        ref_dir = tmp_path / "ref"
+        our_dir = tmp_path / "ours"
+        ref_dir.mkdir()
+        our_dir.mkdir()
+        ref.EurocReader(str(ref_dir)).save_loop_closures_as_csv(
+            closures, "/loops.csv")
+        EurocDataset(str(our_dir)).save_loop_closures_as_csv(
+            closures, "/loops.csv")
+        assert (ref_dir / "loops.csv").read_bytes() == \
+            (our_dir / "loops.csv").read_bytes()
+
+    def test_roundtrip_through_reference_reader(self, ref, tmp_path):
+        """Trajectories written by us and re-read through the REFERENCE's
+        compute_homogeneous_transforms reproduce the input poses."""
+        from lidar_slam_arvc_tpu.io import EurocDataset
+        times, T = self._transforms(seed=35)
+        EurocDataset(str(tmp_path)).save_transforms_as_csv(
+            times, T, "/traj.csv")
+        df = ref.EurocReader(str(tmp_path)).read_csv("/traj.csv")
+        golden = ref.hm.compute_homogeneous_transforms(df)
+        for i in range(len(T)):
+            np.testing.assert_allclose(golden[i].toarray(), T[i], atol=1e-9)
+
+    def test_get_closest_times(self, ref, tmp_path):
+        from lidar_slam_arvc_tpu.io import EurocDataset
+        rng = np.random.default_rng(41)
+        master = np.sort(rng.integers(0, 10**12, size=50))
+        sensor = np.sort(rng.integers(0, 10**12, size=200))
+        golden = ref.EurocReader(str(tmp_path)).get_closest_times(
+            master, sensor, warning_max_time_dif_s=np.inf)
+        ours = EurocDataset.get_closest_times(master, sensor)
+        np.testing.assert_array_equal(ours, golden)
