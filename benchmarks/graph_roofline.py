@@ -27,9 +27,10 @@ bound, not the Cholesky flop bound.
 Usage (on the TPU host):
     python benchmarks/graph_roofline.py [N_POSES] [REPS] [SOLVER]
 
-SOLVER: dense (default) | pcg | breakdown (times residuals/assembly/
-damping/Cholesky/retraction separately to locate the dense step's true
-bound).
+SOLVER: dense (default; chain-partitioned band assembly — the production
+configuration) | dense_scatter (the r4 all-scatter assembly, for A/B) |
+pcg | breakdown (times residuals/assembly/damping/Cholesky/retraction
+separately to locate the dense step's true bound).
 Prints one JSON line with measured ms/step and percent-of-roofline.
 Timing forces host transfers (np.asarray) because block_until_ready is
 unreliable through remote-execution backends.
@@ -64,8 +65,11 @@ def build_graph(n):
     T = synthetic.make_trajectory(n, radius=max(8.0, n / 40.0))
     rng = np.random.default_rng(0)
 
-    n_bt = 2 * (n - 1) + n // LOOP_EVERY + 1
-    g = PoseGraph(T0=T[0], max_poses=n, max_between=n_bt, max_gps=n // 5 + 1)
+    # explicit partition (r5): 2n chain slots band-assembled scatter-free,
+    # 64-slot loop budget (n//LOOP_EVERY+1 actual loop edges) — total
+    # capacity comparable to the r4 configuration (2072 at 1024 poses)
+    g = PoseGraph(T0=T[0], max_poses=n, max_between=2 * n + 64,
+                  chain_capacity=2 * n, max_gps=n // 5 + 1)
     g.init_graph()
     for i in range(n - 1):
         rel = np.linalg.inv(T[i]) @ T[i + 1]
@@ -94,13 +98,17 @@ def main():
     n_active = jnp.asarray(g.n_poses, dtype=jnp.int32)
 
     if SOLVER == "breakdown":
-        return breakdown(poses, factors, n_active)
+        return breakdown(poses, factors, n_active, g.chain_capacity)
     if SOLVER == "pcg":
         step = lambda p: pcg_lm_step(p, factors, n_active,
                                      jnp.float32(1e-6),
                                      max_cg_iters=MAX_CG_ITERS)
     else:
-        step = lambda p: _lm_step(p, factors, n_active, jnp.float32(1e-6))
+        # 'dense' = the production configuration (chain-partitioned band
+        # assembly); 'dense_scatter' = the r4 all-scatter formulation
+        cc = 0 if SOLVER == "dense_scatter" else g.chain_capacity
+        step = lambda p: _lm_step(p, factors, n_active, jnp.float32(1e-6),
+                                  cc)
 
     # REPS dependent steps inside one program so per-dispatch tunnel latency
     # amortizes out; each step feeds the next (a genuine LM iteration chain).
@@ -117,7 +125,7 @@ def main():
     _time_main(run, poses, factors)
 
 
-def breakdown(poses, factors, n_active):
+def breakdown(poses, factors, n_active, chain_capacity=0):
     """Time the pieces of the dense LM step as separate fori-chained
     programs: where do the 14.8 ms/step at 1024 poses actually go?"""
     import jax
@@ -125,7 +133,7 @@ def breakdown(poses, factors, n_active):
     from lidar_slam_arvc_tpu.graph.solver import (
         _assemble, _lm_step, graph_cost)
 
-    H0, b0 = _assemble(poses, factors, n_active)
+    H0, b0 = _assemble(poses, factors, n_active, chain_capacity)
     lam = jnp.float32(1e-6)
 
     def chain(fn, x0, *consts):
@@ -149,7 +157,8 @@ def breakdown(poses, factors, n_active):
 
     # each piece perturbed by its own output so the loop carries a data dep
     t_asm = chain(lambda c, p: _assemble(p + 1e-12 * c[1][0], factors,
-                                         n_active)[0:2], (H0, b0), poses)
+                                         n_active, chain_capacity)[0:2],
+                  (H0, b0), poses)
 
     def chol_piece(c, H):
         eyeM = jnp.eye(H.shape[0], dtype=H.dtype)
@@ -163,7 +172,7 @@ def breakdown(poses, factors, n_active):
     t_cost = chain(lambda c, p: (graph_cost(p + 1e-12 * c, factors)
                                  * jnp.ones_like(p)), poses, poses)
     t_full = chain(lambda c, p: _lm_step(p + 1e-12 * c[0], factors,
-                                         n_active, lam),
+                                         n_active, lam, chain_capacity),
                    (poses, jnp.float32(0.0)), poses)
     M = poses.shape[0] * 6
     print(json.dumps({

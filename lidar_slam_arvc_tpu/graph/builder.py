@@ -10,11 +10,41 @@ compiled executable for the whole run because capacities are fixed).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from lidar_slam_arvc_tpu.graph.factors import DEFAULT_SIGMAS, FactorData, NoiseSigmas
 from lidar_slam_arvc_tpu.graph.solver import solve_graph
+
+
+@functools.partial(jax.jit, static_argnames=("eb", "eg", "ep"))
+def _unpack_factors(f32, i32, eb: int, eg: int, ep: int) -> FactorData:
+    """Slice ONE packed f32 buffer + ONE packed i32 buffer back into the
+    FactorData struct-of-arrays.  Uploading the 10 factor buffers
+    separately costs 10 H2D transfers per optimize() — each a tunnel
+    round trip on remote-execution backends; the slices here are free
+    inside XLA."""
+    o = 0
+
+    def take(n, shape):
+        nonlocal o
+        a = f32[o:o + n].reshape(shape)
+        o += n
+        return a
+
+    bt_T = take(eb * 16, (eb, 4, 4))
+    bt_winv = take(eb * 6, (eb, 6))
+    gps_z = take(eg * 3, (eg, 3))
+    gps_winv = take(eg * 3, (eg, 3))
+    pr_T = take(ep * 16, (ep, 4, 4))
+    pr_winv = take(ep * 6, (ep, 6))
+    return FactorData(
+        bt_i=i32[:eb], bt_j=i32[eb:2 * eb], bt_T=bt_T, bt_winv=bt_winv,
+        gps_i=i32[2 * eb:2 * eb + eg], gps_z=gps_z, gps_winv=gps_winv,
+        pr_i=i32[2 * eb + eg:2 * eb + eg + ep], pr_T=pr_T, pr_winv=pr_winv)
 
 
 class PoseGraph:
@@ -23,7 +53,7 @@ class PoseGraph:
                  max_poses: int = 4096, max_between: int | None = None,
                  max_gps: int | None = None,
                  sigmas: NoiseSigmas = DEFAULT_SIGMAS,
-                 mesh=None):
+                 mesh=None, chain_capacity: int | None = None):
         # mesh: jax.sharding.Mesh with a 'data' axis.  When set (and the pose
         # capacity divides evenly over it) optimize(solver='auto') picks the
         # distributed Schur solver — the multi-device stage-2 path
@@ -51,9 +81,16 @@ class PoseGraph:
         # dense assembly lays them down as a scatter-free block-tridiagonal
         # band (solver._expand_block_tridiag); only slots beyond — the
         # loop-closure edges — go through the serialized scatter.  SM+ODO
-        # chain edges need up to 2*(max_poses-1) slots; at least half of
-        # max_between stays reserved for loop edges.
-        self.chain_capacity = min(2 * max_poses, self.max_between // 2)
+        # chain edges need up to 2*(max_poses-1) slots; the default keeps
+        # at least half of max_between reserved for loop edges.  Callers
+        # sizing their own buffers (the pipeline) pass chain_capacity
+        # explicitly (2*max_poses chain + a loop budget).
+        if chain_capacity is None:
+            chain_capacity = min(2 * max_poses, self.max_between // 2)
+        if not 0 <= chain_capacity <= self.max_between:
+            raise ValueError(f"chain_capacity {chain_capacity} outside "
+                             f"[0, max_between={self.max_between}]")
+        self.chain_capacity = chain_capacity
         self.n_chain = 0
         self.n_loop = 0
 
@@ -128,14 +165,16 @@ class PoseGraph:
     # ----------------------------------------------------------- solving
 
     def _factor_data(self) -> FactorData:
-        return FactorData(
-            bt_i=jnp.asarray(self.bt_i), bt_j=jnp.asarray(self.bt_j),
-            bt_T=jnp.asarray(self.bt_T), bt_winv=jnp.asarray(self.bt_winv),
-            gps_i=jnp.asarray(self.gps_i), gps_z=jnp.asarray(self.gps_z),
-            gps_winv=jnp.asarray(self.gps_winv),
-            pr_i=jnp.asarray(self.pr_i), pr_T=jnp.asarray(self.pr_T),
-            pr_winv=jnp.asarray(self.pr_winv),
-        )
+        """Device factor buffers via ONE packed f32 + ONE packed i32 upload
+        (see _unpack_factors — 2 transfers instead of 10 per optimize)."""
+        f32 = np.concatenate([
+            self.bt_T.reshape(-1), self.bt_winv.reshape(-1),
+            self.gps_z.reshape(-1), self.gps_winv.reshape(-1),
+            self.pr_T.reshape(-1), self.pr_winv.reshape(-1)])
+        i32 = np.concatenate([self.bt_i, self.bt_j, self.gps_i, self.pr_i])
+        return _unpack_factors(jnp.asarray(f32), jnp.asarray(i32),
+                               self.max_between, self.max_gps,
+                               self.pr_i.shape[0])
 
     def auto_solver(self) -> str:
         """The solver optimize(solver='auto') will pick — single source of
@@ -189,10 +228,16 @@ class PoseGraph:
                                           self._factor_data(), self.n_poses,
                                           max_iterations=max_iterations)
         else:
+            # band assembly measured faster through 1024 poses (2.29 vs
+            # 3.53 ms/LM step at 256 — the auto-selected dense regime —
+            # and 15.3 vs 17.0 at 1024) but slower at 2048 (61.1 vs 56.8:
+            # the three full-(6N)^2 band passes outgrow the scatter), so
+            # it is size-gated; the pipeline's dense graphs are <=256
+            cc = self.chain_capacity if self.max_poses <= 1024 else 0
             poses, cost = solve_graph(jnp.asarray(self.poses),
                                       self._factor_data(), self.n_poses,
                                       max_iterations=max_iterations,
-                                      chain_capacity=self.chain_capacity)
+                                      chain_capacity=cc)
         self.poses = np.array(poses)  # writable host copy
         return cost
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -282,7 +283,9 @@ def _solve_graph_pcg_fused(poses, factors: FactorData, n_active, lam0, tol,
     poses, cost, _, _, _ = jax.lax.while_loop(
         cond, body, (poses, cost0, jnp.float32(lam0), jnp.int32(0),
                      jnp.bool_(False)))
-    return poses, cost
+    # single packed output = single host transfer (see solver.py
+    # _solve_graph_fused — one tunnel round trip instead of two)
+    return jnp.concatenate([poses.reshape(-1), cost.reshape(1)])
 
 
 @functools.partial(jax.jit, static_argnames=("max_cg_iters",))
@@ -338,18 +341,28 @@ def marginal_blocks_pcg(poses, factors: FactorData, n_active, indices,
                          dot(r0, z0)))
         return x[p]                                   # (6,) column at pose p
 
-    def one_pose(p):
-        return jax.vmap(lambda j: solve_one(p, j))(jnp.arange(6)).T
-
-    return jax.lax.map(one_pose, jnp.asarray(indices, dtype=jnp.int32))
+    # one fully-vmapped batch over ALL K*6 unit columns: each CG iteration
+    # is tiny (edge sweep + BCR apply on (N,6) vectors), so a sequential
+    # lax.map over poses is LATENCY-bound on TPU; batching turns it into
+    # K*6-wide vectorized sweeps (memory: ~5 CG state vectors x K*6 x
+    # (N,6) f32 — a few tens of MB at pipeline scales).  The batch runs
+    # until its slowest column converges, which the width amortizes.
+    req = jnp.asarray(indices, dtype=jnp.int32)
+    K = req.shape[0]
+    pp = jnp.repeat(req, 6)                            # (K*6,)
+    jj = jnp.tile(jnp.arange(6), K)                    # (K*6,)
+    cols = jax.vmap(solve_one)(pp, jj)                 # (K*6, 6)
+    return jnp.swapaxes(cols.reshape(K, 6, 6), 1, 2)
 
 
 def solve_graph_pcg(poses, factors: FactorData, n_active,
                     max_iterations: int = 15, lam0: float = 1e-6,
                     tol: float = 1e-7, max_cg_iters: int = 200):
     """LM loop around PCG steps (same accept/reject policy as solve_graph),
-    fused into one device dispatch."""
-    poses, cost = _solve_graph_pcg_fused(
+    fused into one device dispatch + one host transfer.  Returns
+    (host numpy poses, cost float)."""
+    n = poses.shape[0]
+    packed = np.asarray(_solve_graph_pcg_fused(
         poses, factors, jnp.asarray(n_active, dtype=jnp.int32),
-        jnp.float32(lam0), jnp.float32(tol), max_iterations, max_cg_iters)
-    return poses, float(cost)
+        jnp.float32(lam0), jnp.float32(tol), max_iterations, max_cg_iters))
+    return packed[:-1].reshape(n, 4, 4), float(packed[-1])

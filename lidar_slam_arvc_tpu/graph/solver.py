@@ -19,6 +19,8 @@ identity-prior rows with tiny weight added implicitly via mask handling.
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -444,21 +446,27 @@ def _solve_graph_fused(poses, factors, n_active, lam0, tol,
     poses, cost, _, _, _ = jax.lax.while_loop(
         cond, body, (poses, cost0, jnp.float32(lam0), jnp.int32(0),
                      jnp.bool_(False)))
-    return poses, cost
+    # ONE packed output: poses flattened with the cost appended, so the
+    # host needs a single D2H transfer (each blocking transfer through a
+    # remote-execution tunnel is a full round trip — fetching poses and
+    # cost separately doubled the per-optimize() fixed cost)
+    return jnp.concatenate([poses.reshape(-1), cost.reshape(1)])
 
 
 def solve_graph(poses: jax.Array, factors: FactorData, n_active,
                 max_iterations: int = 15, lam0: float = 1e-6,
                 tol: float = 1e-7, chain_capacity: int = 0):
-    """Batch LM solve, one device dispatch (see _solve_graph_fused).
+    """Batch LM solve, one device dispatch + ONE host transfer.
 
-    Returns (optimized poses, final cost).  Shapes are static, so repeated
-    calls with a growing graph (same capacities) reuse the same executable.
+    Returns (optimized poses as a HOST numpy array, final cost float).
+    Shapes are static, so repeated calls with a growing graph (same
+    capacities) reuse the same executable.
     ``chain_capacity``: see _assemble — pass PoseGraph.chain_capacity when
     the factor buffers are chain-partitioned (scatter-free band assembly).
     """
     n_active = jnp.asarray(n_active, dtype=jnp.int32)
-    poses, cost = _solve_graph_fused(poses, factors, n_active,
-                                     jnp.float32(lam0), jnp.float32(tol),
-                                     max_iterations, chain_capacity)
-    return poses, float(cost)
+    n = poses.shape[0]
+    packed = np.asarray(_solve_graph_fused(
+        poses, factors, n_active, jnp.float32(lam0), jnp.float32(tol),
+        max_iterations, chain_capacity))
+    return packed[:-1].reshape(n, 4, 4), float(packed[-1])

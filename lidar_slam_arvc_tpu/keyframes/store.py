@@ -32,6 +32,21 @@ REGISTRATION_METHODS = ("icppointpoint", "icppointplane", "icp2planes",
 
 
 @functools.lru_cache(maxsize=8)
+def _gather_icp(params: ICPParams, method: str):
+    """Jitted gather+ICP over the stacked store in ONE dispatch.
+
+    Indexing the store tensors eagerly (points[si] etc. outside jit) costs
+    five separate device gathers plus the ICP dispatch; fusing them keeps
+    the candidate-ICP path at one dispatch per loop-closing round."""
+    def fn(points, masks, normals, si, ti, seeds):
+        res = icp_batch(points[si], masks[si], points[ti], masks[ti],
+                        normals[ti], seeds, params, method)
+        return res.transform
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
 def _replicated_gather_icp(mesh, params: ICPParams, method: str):
     """Jitted gather+ICP over a GLOBALLY SHARDED scan store with fully
     replicated outputs.  Multi-controller runs cannot fetch non-addressable
@@ -265,9 +280,9 @@ class KeyframeStore:
             return np.asarray(T, dtype=np.float64)
 
         if self.method == "icppointpoint":
-            res = icp_batch(self.points[si], self.mask[si], self.points[ti],
-                            self.mask[ti], self.normals[ti], seeds_j,
-                            params, "point_to_point")
+            fn = _gather_icp(params, "point_to_point")
+            return np.asarray(fn(self.points, self.mask, self.normals,
+                                 si, ti, seeds_j), dtype=np.float64)
         elif self.method == "icp2planes":
             from lidar_slam_arvc_tpu.cloud import Cloud
 
@@ -298,9 +313,9 @@ class KeyframeStore:
                 self.points[ti], self.mask[ti], self.nonground_mask[ti],
                 self.normals[ti], self.normals[si], keys)
         else:  # icppointplane (recommended default, run_scanmatcher.py:166)
-            res = icp_batch(self.points[si], self.mask[si], self.points[ti],
-                            self.mask[ti], self.normals[ti], seeds_j,
-                            params, "point_to_plane")
+            fn = _gather_icp(params, "point_to_plane")
+            return np.asarray(fn(self.points, self.mask, self.normals,
+                                 si, ti, seeds_j), dtype=np.float64)
         return np.asarray(res.transform, dtype=np.float64)
 
     # ------------------------------------------------------------- memory

@@ -105,10 +105,17 @@ def _run_graphslam(directory, cfg, progress, compiles):
     mesh = resolve_mesh(cfg.mesh_devices)
     if mesh is not None and _next_pow2(n) < 2 * mesh.size:
         mesh = None  # graph too small to split across devices
+    # explicit factor-buffer partition: 2*max_poses chain slots (SM+ODO
+    # consecutive edges — assembled scatter-free as a block-tridiagonal
+    # band) + a loop-closure budget sized from the closing cadence
+    max_poses = _next_pow2(n)
+    chain_cap = 2 * max_poses
+    loop_cap = _next_pow2(8 * n_triplets
+                          * max(n // max(skip_loop_closing, 1), 1) + 64)
     graph = PoseGraph(T0=np.eye(4), T0_gps=T0_gps, mesh=mesh,
-                      max_poses=_next_pow2(n),
-                      max_between=_next_pow2(2 * n + 8 * n_triplets
-                                             * max(n // max(skip_loop_closing, 1), 1) + 64),
+                      max_poses=max_poses,
+                      max_between=chain_cap + loop_cap,
+                      chain_capacity=chain_cap,
                       max_gps=_next_pow2(n))
     graph.init_graph()
 
@@ -172,11 +179,9 @@ def _run_graphslam(directory, cfg, progress, compiles):
                               or (len(sm_rel) - i) < 2):
             part = closer.loop_closing_triangle(i, n_triplets)
             loop_closures.append(part)
-            if part:
-                t_opt = time.time()
-                graph.optimize()
-                optimize_seconds += time.time() - t_opt
-                n_optimizations += 1
+            # NO re-optimize after closures: the reference only plots here
+            # (run_graphSLAM.py:259-268); accepted closure edges take
+            # effect at the next cadence optimize (and the final one)
         if progress:
             print(f"\rgraphSLAM step {i + 1}/{len(sm_rel)} "
                   f"({(i + 1) / max(time.time() - t0, 1e-9):.1f} steps/s)",
@@ -190,14 +195,20 @@ def _run_graphslam(directory, cfg, progress, compiles):
     n_optimizations += 1
 
     solution_lidar = graph.get_solution_transforms_lidar()[:n]
-    # multi-controller runs share the dataset directory: one writer
+    # multi-controller runs share the dataset directory: one writer; a
+    # writer failure is deferred so the end-of-stage barrier is reached
     import jax
     is_writer = jax.process_index() == 0
+    csv_error = None
     if is_writer:
-        euroc.save_transforms_as_csv(scan_times, solution_lidar,
-                                     "/robot0/SLAM/solution_graphslam.csv")
-        euroc.save_loop_closures_as_csv(loop_closures,
-                                        "/robot0/SLAM/loop_closures.csv")
+        try:
+            euroc.save_transforms_as_csv(
+                scan_times, solution_lidar,
+                "/robot0/SLAM/solution_graphslam.csv")
+            euroc.save_loop_closures_as_csv(
+                loop_closures, "/robot0/SLAM/loop_closures.csv")
+        except Exception as exc:
+            csv_error = exc
     # uncertainty-ellipse artifact = the reference's live GraphSLAM.plot
     # with plot_uncertainty_ellipse=True (graphSLAM.py:115-145), headless.
     # Only the plotted (skip-sampled) poses need marginals: chunked dense
@@ -279,11 +290,25 @@ def _run_graphslam(directory, cfg, progress, compiles):
         "store_scans_loaded_locally": int(store_loaded_locally),
         **compiles.report(),
     }
-    if is_writer:
-        os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
-        with open(f"{directory}/robot0/viz/graphslam_profile.json",
-                  "w") as f:
-            json.dump(profile, f, indent=2)
+    write_error = csv_error
+    if is_writer and write_error is None:
+        try:
+            os.makedirs(f"{directory}/robot0/viz", exist_ok=True)
+            with open(f"{directory}/robot0/viz/graphslam_profile.json",
+                      "w") as f:
+                json.dump(profile, f, indent=2)
+        except Exception as exc:
+            write_error = exc
+    if jax.process_count() > 1:
+        # downstream stages (map viewer / diag) and callers read the
+        # SLAM CSVs + profile: no process may return before the writer is
+        # done — and a writer failure must reach the barrier first so
+        # peers don't hang until the collective timeout (same contract as
+        # stage 1's scanmatcher_csvs_written barrier)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("graphslam_outputs_written")
+    if write_error is not None:
+        raise write_error
     return {"solution": solution_lidar, "scan_times": scan_times,
             "loop_closures": loop_closures, "n_loop_closures": n_loops,
             "gps_correspondences": corr_indexes,

