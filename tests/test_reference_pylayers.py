@@ -250,6 +250,100 @@ class TestSamplers:
                 golden_df[col].to_numpy(dtype=np.float64), atol=0)
 
 
+class TestQuaternionAlgebra:
+    """Quaternion product/conjugate/slerp vs the reference's own
+    implementations (artelib/tools.py:205-312, artelib/quaternion.py)."""
+
+    def _random_unit_quats(self, n, seed):
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(n, 4))
+        return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def test_qprod_qconj(self, ref):
+        from lidar_slam_arvc_tpu.compat import Quaternion
+        qs = self._random_unit_quats(40, 51)
+        for k in range(0, 40, 2):
+            q1, q2 = qs[k], qs[k + 1]
+            golden = ref.tools.qprod(q1, q2)
+            ours = (Quaternion(q1) * Quaternion(q2)).toarray()
+            np.testing.assert_allclose(ours, golden, atol=1e-12)
+            np.testing.assert_allclose(Quaternion(q1).qconj().toarray(),
+                                       ref.tools.qconj(q1), atol=0)
+
+    def test_quaternion_class_product_matches_reference_class(self, ref):
+        from lidar_slam_arvc_tpu.compat import Quaternion
+        qs = self._random_unit_quats(20, 53)
+        for k in range(0, 20, 2):
+            golden = (ref.quaternion.Quaternion(qs[k])
+                      * ref.quaternion.Quaternion(qs[k + 1])).toarray()
+            ours = (Quaternion(qs[k]) * Quaternion(qs[k + 1])).toarray()
+            np.testing.assert_allclose(ours, golden, atol=1e-12)
+
+    def test_slerp(self, ref):
+        """geom.quat_slerp vs reference slerp (artelib/tools.py:290-311),
+        incl. the negative-dot hemisphere flip."""
+        from lidar_slam_arvc_tpu.geom import quat_slerp
+        qs = self._random_unit_quats(20, 57)
+        for k in range(0, 20, 2):
+            q1, q2 = qs[k], qs[k + 1]
+            for t in (0.0, 0.25, 0.5, 0.9, 1.0):
+                golden = ref.tools.slerp(ref.quaternion.Quaternion(q1),
+                                         ref.quaternion.Quaternion(q2),
+                                         t).toarray()
+                ours = np.asarray(quat_slerp(q1, q2, t), dtype=np.float64)
+                np.testing.assert_allclose(ours, golden, atol=1e-6,
+                                           err_msg=f"pair {k}, t={t}")
+
+    def test_q2euler(self, ref):
+        from lidar_slam_arvc_tpu.compat import Quaternion
+        qs = self._random_unit_quats(30, 59)
+        for q in qs:
+            g1, g2 = ref.tools.q2euler(q)
+            e1, e2 = Quaternion(q).Euler()
+            np.testing.assert_allclose(e1.abg, g1, atol=1e-12)
+            np.testing.assert_allclose(e2.abg, g2, atol=1e-12)
+
+
+class TestDHKinematics:
+    """SerialRobot/SerialLink forward kinematics vs the reference's
+    artelib/seriallink.py (runnable pure numpy)."""
+
+    def test_directkinematics_random_arms(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        sys.path.append(REFERENCE)
+        from artelib.seriallink import SerialRobot as RefRobot
+        rng = np.random.default_rng(61)
+        for trial in range(5):
+            n = int(rng.integers(2, 7))
+            T0 = np.eye(4)
+            T0[:3, 3] = rng.normal(size=3)
+            ours = compat.SerialRobot(n, T0.copy(), "arm")
+            golden = RefRobot(n, T0.copy(), "arm")
+            for i in range(n):
+                th, d, a, alpha = rng.normal(size=4)
+                lt = "R" if rng.random() < 0.7 else "P"
+                ours.append(th, d, a, alpha, link_type=lt)
+                golden.append(th, d, a, alpha, link_type=lt)
+            q = rng.normal(size=n)
+            np.testing.assert_allclose(
+                ours.directkinematics(q).toarray(),
+                golden.directkinematics(q).toarray(), atol=1e-12,
+                err_msg=f"trial {trial}")
+
+    def test_single_link_dh(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        sys.path.append(REFERENCE)
+        from artelib.seriallink import SerialLink as RefLink
+        rng = np.random.default_rng(67)
+        for lt in ("R", "P"):
+            th, d, a, alpha = rng.normal(size=4)
+            q = float(rng.normal())
+            ours = compat.SerialLink(th, d, a, alpha, link_type=lt).dh(q)
+            golden = RefLink(th, d, a, alpha, link_type=lt).dh(q)
+            np.testing.assert_allclose(ours.toarray(), golden.toarray(),
+                                       atol=1e-12)
+
+
 class TestCsvSerialization:
     """The interop contract: our CSVs must be byte-compatible with the
     reference's (eurocreader.py:46-100) so either stage of either pipeline
