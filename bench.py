@@ -257,13 +257,15 @@ def pinned_baseline_fps():
             pin = json.load(f).get("cpu_baseline")
     except (FileNotFoundError, json.JSONDecodeError):
         return None
-    if pin is None:
+    try:
+        if (pin["scan_points"] != SCAN_POINTS
+                or pin["voxel"] != VOXEL
+                or pin["icp_iterations"] != ICP_ITERS):
+            return None
+        return pin["frames_per_second_by_stride"].get(str(STRIDE))
+    except (KeyError, TypeError, AttributeError):
+        # malformed cpu_baseline entry -> fall back to the live measure
         return None
-    if (pin.get("scan_points") != SCAN_POINTS
-            or pin.get("voxel") != VOXEL
-            or pin.get("icp_iterations") != ICP_ITERS):
-        return None
-    return pin["frames_per_second_by_stride"].get(str(STRIDE))
 
 
 def main():

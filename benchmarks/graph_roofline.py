@@ -66,9 +66,10 @@ def build_graph(n):
     rng = np.random.default_rng(0)
 
     # explicit partition (r5): 2n chain slots band-assembled scatter-free,
-    # 64-slot loop budget (n//LOOP_EVERY+1 actual loop edges) — total
-    # capacity comparable to the r4 configuration (2072 at 1024 poses)
-    g = PoseGraph(T0=T[0], max_poses=n, max_between=2 * n + 64,
+    # loop budget scaling with n (n//LOOP_EVERY+1 actual loop edges) —
+    # total capacity comparable to the r4 configuration (2072+ at 1024)
+    loop_cap = n // LOOP_EVERY + 64
+    g = PoseGraph(T0=T[0], max_poses=n, max_between=2 * n + loop_cap,
                   chain_capacity=2 * n, max_gps=n // 5 + 1)
     g.init_graph()
     for i in range(n - 1):

@@ -228,18 +228,20 @@ class PoseGraph:
                                           self._factor_data(), self.n_poses,
                                           max_iterations=max_iterations)
         else:
-            # band assembly measured faster through 1024 poses (2.29 vs
-            # 3.53 ms/LM step at 256 — the auto-selected dense regime —
-            # and 15.3 vs 17.0 at 1024) but slower at 2048 (61.1 vs 56.8:
-            # the three full-(6N)^2 band passes outgrow the scatter), so
-            # it is size-gated; the pipeline's dense graphs are <=256
-            cc = self.chain_capacity if self.max_poses <= 1024 else 0
-            poses, cost = solve_graph(jnp.asarray(self.poses),
-                                      self._factor_data(), self.n_poses,
-                                      max_iterations=max_iterations,
-                                      chain_capacity=cc)
+            poses, cost = solve_graph(
+                jnp.asarray(self.poses), self._factor_data(), self.n_poses,
+                max_iterations=max_iterations,
+                chain_capacity=self._effective_chain_capacity())
         self.poses = np.array(poses)  # writable host copy
         return cost
+
+    def _effective_chain_capacity(self) -> int:
+        """Band assembly measured faster through 1024 poses (2.29 vs 3.53
+        ms/LM step at 256 — the auto-selected dense regime — and 15.3 vs
+        17.0 at 1024) but slower at 2048 (61.1 vs 56.8: the three
+        full-(6N)^2 band passes outgrow the scatter), so every dense
+        _assemble consumer size-gates through this single policy."""
+        return self.chain_capacity if self.max_poses <= 1024 else 0
 
     def _sep_capacity(self, n_devices: int) -> int:
         """Static separator capacity for the Schur solver: the exact count
@@ -270,9 +272,9 @@ class PoseGraph:
         """
         if indices is None:
             from lidar_slam_arvc_tpu.graph.solver import marginal_covariances
-            cov = marginal_covariances(jnp.asarray(self.poses),
-                                       self._factor_data(), self.n_poses,
-                                       chain_capacity=self.chain_capacity)
+            cov = marginal_covariances(
+                jnp.asarray(self.poses), self._factor_data(), self.n_poses,
+                chain_capacity=self._effective_chain_capacity())
             return np.array(cov[: self.n_poses], dtype=np.float64)
         from lidar_slam_arvc_tpu.graph.pcg import marginal_blocks_pcg
         cov = marginal_blocks_pcg(jnp.asarray(self.poses),

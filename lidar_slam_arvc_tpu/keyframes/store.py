@@ -31,6 +31,15 @@ REGISTRATION_METHODS = ("icppointpoint", "icppointplane", "icp2planes",
                         "fpfh")
 
 
+def _validate_method(method: str) -> str:
+    if method not in REGISTRATION_METHODS:
+        # the reference prints 'Unknown registration method' and returns
+        # None (keyframemanager.py:72-74); fail loudly instead
+        raise ValueError(f"unknown registration method {method!r}; "
+                         f"expected one of {REGISTRATION_METHODS}")
+    return method
+
+
 @functools.lru_cache(maxsize=8)
 def _gather_icp(params: ICPParams, method: str):
     """Jitted gather+ICP over the stacked store in ONE dispatch.
@@ -68,11 +77,7 @@ class KeyframeStore:
     def __init__(self, directory: str, scan_times, voxel_size=None,
                  method: str = "icppointplane",
                  cfg: IcpConfig | None = None):
-        if method not in REGISTRATION_METHODS:
-            # the reference prints 'Unknown registration method' and returns
-            # None (keyframemanager.py:72-74); fail loudly instead
-            raise ValueError(f"unknown registration method {method!r}; "
-                             f"expected one of {REGISTRATION_METHODS}")
+        _validate_method(method)
         self.directory = directory
         self.scan_times = np.asarray(scan_times)
         self.voxel_size = voxel_size
@@ -98,10 +103,7 @@ class KeyframeStore:
         store.directory = None
         store.scan_times = np.arange(points.shape[0])
         store.voxel_size = None
-        if method not in REGISTRATION_METHODS:
-            raise ValueError(f"unknown registration method {method!r}; "
-                             f"expected one of {REGISTRATION_METHODS}")
-        store.method = method
+        store.method = _validate_method(method)
         store.cfg = cfg or IcpConfig()
         store.icp_params_override = icp_params
         store.points = points

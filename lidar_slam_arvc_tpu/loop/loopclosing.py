@@ -71,6 +71,12 @@ class LoopCloser:
         else:
             assert scan_masks is None and scan_normals is None
             if icp_params is not None:
+                # shallow copy: override the ICP params for loop-closure
+                # dispatches WITHOUT mutating the caller's store (which may
+                # serve other registrations with its own parameters); the
+                # copy shares the device tensors
+                import copy
+                store = copy.copy(store)
                 store.icp_params_override = icp_params
         self.graph = graph
         self.store = store

@@ -285,7 +285,10 @@ def _run_graphslam(directory, cfg, progress, compiles):
         "solver": graph.auto_solver(),
         "method": method,
         "uncertainty_error": uncertainty_error,
-        "mesh_devices": int(cfg.mesh_devices),
+        # record the ACTUAL mesh size, not the 0 "all devices" sentinel
+        # (same fix as stage 1's profile)
+        "mesh_devices": int(mesh.size) if mesh is not None
+        else int(cfg.mesh_devices),
         "process_count": int(jax.process_count()),
         "store_scans_loaded_locally": int(store_loaded_locally),
         **compiles.report(),
