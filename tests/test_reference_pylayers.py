@@ -250,6 +250,139 @@ class TestSamplers:
                 golden_df[col].to_numpy(dtype=np.float64), atol=0)
 
 
+class TestValueClassConstructors:
+    """compat's drop-in classes vs the reference's own value classes
+    (artelib/{homogeneousmatrix,rotationmatrix,vector}.py) — every
+    constructor form and operator the reference supports."""
+
+    def test_homogeneous_matrix_constructor_forms(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        rng = np.random.default_rng(71)
+        pos = list(rng.normal(size=3))
+        abg = list(rng.uniform(-1, 1, size=3))
+        R = random_rotations(1, seed=72)[0]
+        from scipy.spatial.transform import Rotation as SR
+        qx = SR.random(1, random_state=73).as_quat()[0]
+        q = [qx[3], qx[0], qx[1], qx[2]]                      # wxyz
+        cases = [
+            ((), {}),
+            ((np.eye(4),), {}),
+            (([list(r) for r in np.eye(4)],), {}),
+        ]
+        for args, _ in cases:
+            ours = compat.HomogeneousMatrix(*args).toarray()
+            golden = ref.hm.HomogeneousMatrix(*args).toarray()
+            np.testing.assert_allclose(ours, golden, atol=0)
+        # (position, orientation) forms: Euler / list / Quaternion / R
+        import artelib.euler as ref_euler
+        import artelib.rotationmatrix as ref_rm
+        pairs = [
+            (compat.Euler(abg), ref_euler.Euler(abg)),
+            (abg, abg),
+            (compat.Quaternion(q), ref.quaternion.Quaternion(q)),
+            (compat.RotationMatrix(R), ref_rm.RotationMatrix(R)),
+        ]
+        for ours_o, ref_o in pairs:
+            ours = compat.HomogeneousMatrix(pos, ours_o).toarray()
+            golden = ref.hm.HomogeneousMatrix(pos, ref_o).toarray()
+            np.testing.assert_allclose(ours, golden, atol=1e-12,
+                                       err_msg=str(type(ref_o)))
+
+    def test_rotation_constructors(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        import artelib.rotationmatrix as ref_rm
+        for th in (0.0, 0.3, -1.2, np.pi):
+            for name in ("Rx", "Ry", "Rz", "R2"):
+                ours = getattr(compat, name)(th).toarray()
+                golden = getattr(ref_rm, name)(th).toarray()
+                np.testing.assert_allclose(ours, golden, atol=0,
+                                           err_msg=f"{name}({th})")
+
+    def test_rotationmatrix_ops(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        import artelib.rotationmatrix as ref_rm
+        R = random_rotations(1, seed=75)[0]
+        ours = compat.RotationMatrix(R)
+        golden = ref_rm.RotationMatrix(R)
+        np.testing.assert_allclose(ours.inv().toarray(),
+                                   golden.inv().toarray(), atol=0)
+        np.testing.assert_allclose(ours.det(), golden.det(), atol=0)
+        np.testing.assert_allclose(ours.homogeneous().toarray(),
+                                   golden.homogeneous().toarray(), atol=0)
+
+    def test_vector_ops(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        import artelib.vector as ref_vec
+        rng = np.random.default_rng(77)
+        a, b = rng.normal(size=(2, 3))
+        va, vb = compat.Vector(a), compat.Vector(b)
+        ra, rb = ref_vec.Vector(a), ref_vec.Vector(b)
+        np.testing.assert_allclose((va + vb).toarray(),
+                                   (ra + rb).toarray(), atol=0)
+        np.testing.assert_allclose((va - vb).toarray(),
+                                   (ra - rb).toarray(), atol=0)
+        np.testing.assert_allclose(va.cross(vb).toarray(),
+                                   ra.cross(rb).toarray(), atol=0)
+        assert va * vb == pytest.approx(ra * rb)     # scalar product
+        # the REFERENCE's Vector.homogeneous is broken: it passes a raw
+        # np.eye(3) where HomogeneousMatrix's 2-arg branch demands a typed
+        # orientation and hits `raise Exception`
+        # (vector.py:31-32 -> homogeneousmatrix.py:31-44); ours returns the
+        # intended translation-only transform
+        with pytest.raises(Exception):
+            ra.homogeneous()
+        H = va.homogeneous().toarray()
+        np.testing.assert_allclose(H[:3, 3], a, atol=0)
+        np.testing.assert_allclose(H[:3, :3], np.eye(3), atol=0)
+
+    def test_buildT(self, ref):
+        import lidar_slam_arvc_tpu.compat as compat
+        rng = np.random.default_rng(79)
+        pos = rng.normal(size=3)
+        abg = rng.uniform(-1, 1, size=3)
+        golden = ref.tools.buildT(pos, __import__(
+            "artelib.euler", fromlist=["Euler"]).Euler(abg))
+        ours = compat.HomogeneousMatrix(list(pos),
+                                        compat.Euler(abg)).toarray()
+        np.testing.assert_allclose(ours, golden, atol=1e-12)
+
+
+class TestYamlReaders:
+    """Sensor transform.yaml / GPS reference.yaml parsing parity
+    (eurocreader.py:15-36) on shared fixture files."""
+
+    def _write_fixtures(self, root):
+        import yaml
+        os.makedirs(f"{root}/robot0/gps0", exist_ok=True)
+        T = np.eye(4)
+        T[:3, 3] = (0.1, -0.2, 0.85)
+        T[:3, :3] = random_rotations(1, seed=81)[0]
+        with open(f"{root}/robot0/gps0/transform.yaml", "w") as f:
+            yaml.safe_dump({"transform": [list(map(float, r)) for r in T]},
+                           f)
+        with open(f"{root}/robot0/gps0/reference.yaml", "w") as f:
+            yaml.safe_dump({"latitude": 38.27, "longitude": -0.68,
+                            "altitude": 12.5}, f)
+        return T
+
+    def test_read_transform(self, ref, tmp_path):
+        from lidar_slam_arvc_tpu.io import EurocDataset
+        T = self._write_fixtures(str(tmp_path))
+        golden = ref.EurocReader(str(tmp_path)).read_transform(
+            "gps0").toarray()
+        ours = EurocDataset(str(tmp_path)).read_transform("gps0")
+        np.testing.assert_allclose(ours, golden, atol=0)
+        np.testing.assert_allclose(ours, T, atol=1e-12)
+
+    def test_read_utm_ref(self, ref, tmp_path):
+        from lidar_slam_arvc_tpu.io import EurocDataset
+        self._write_fixtures(str(tmp_path))
+        golden = ref.EurocReader(str(tmp_path)).read_utm_ref("gps0")
+        ours = EurocDataset(str(tmp_path)).read_utm_ref("gps0")
+        for key in ("latitude", "longitude", "altitude"):
+            assert ours[key] == golden[key], key
+
+
 class TestQuaternionAlgebra:
     """Quaternion product/conjugate/slerp vs the reference's own
     implementations (artelib/tools.py:205-312, artelib/quaternion.py)."""
