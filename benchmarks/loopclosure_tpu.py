@@ -83,9 +83,16 @@ def main():
     counter = CompileCounter()
     with counter.scope():
         t0 = time.time()
-        out_sm = run_scanmatcher(d, cfg=cfg, progress=False)
+        # fused two-stage mode (SURVEY §2.3 row 5): stage 2 reuses stage
+        # 1's preprocessed device tensors — both stages run voxel None at
+        # the same capacity, so re-loading 20k-point PCDs would be pure
+        # duplicated work (LC_FUSED=0 to force the filesystem round trip)
+        fused = os.environ.get("LC_FUSED", "1") == "1"
+        out_sm = run_scanmatcher(d, cfg=cfg, progress=False,
+                                 return_preprocessed=fused)
         t1 = time.time()
-        out_g = run_graphslam(d, cfg=cfg, progress=False)
+        out_g = run_graphslam(d, cfg=cfg, progress=False,
+                              preprocessed=out_sm.get("preprocessed"))
         t2 = time.time()
 
     euroc = EurocDataset(d)
@@ -132,6 +139,7 @@ def main():
         "loop_icp_pairs": prof["loop_icp_pairs"],
         "marginals_seconds": prof["marginals_seconds"],
         "host_other_seconds": prof["host_other_seconds"],
+        "store_reused_stage1": prof["store_reused_stage1"],
         "solver": prof["solver"],
         "optimizations": prof["optimizations"],
         "loop_closing_rounds": prof["loop_closing_rounds"],

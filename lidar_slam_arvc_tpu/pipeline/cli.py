@@ -91,14 +91,20 @@ def main(argv=None):
         overrides["shard_scans"] = True
     cfg = IcpConfig(**overrides)
 
+    preprocessed = None
     if args.command in ("scanmatch", "run"):
         from lidar_slam_arvc_tpu.pipeline.scanmatcher import run_scanmatcher
-        out = run_scanmatcher(args.directory, cfg=cfg)
+        # fused mode: hand stage 1's preprocessed tensors to stage 2 so it
+        # skips re-loading when the configurations match
+        out = run_scanmatcher(args.directory, cfg=cfg,
+                              return_preprocessed=(args.command == "run"))
+        preprocessed = out.get("preprocessed")
         print(f"scanmatcher: {len(out['relative'])} pairs, "
               f"{out['frames_per_second']:.2f} frames/s (ICP)")
     if args.command in ("graph", "run"):
         from lidar_slam_arvc_tpu.pipeline.graphslam import run_graphslam
-        out = run_graphslam(args.directory, cfg=cfg)
+        out = run_graphslam(args.directory, cfg=cfg,
+                            preprocessed=preprocessed)
         print(f"graphSLAM: {len(out['solution'])} poses, "
               f"{out['n_loop_closures']} loop closures, "
               f"{out['seconds']:.1f}s")

@@ -63,15 +63,24 @@ def _relative(T: np.ndarray) -> np.ndarray:
 
 
 def run_graphslam(directory: str, cfg: IcpConfig | None = None,
-                  progress: bool = True) -> dict:
-    """Full stage 2; writes solution_graphslam.csv + loop_closures.csv."""
+                  progress: bool = True, preprocessed: dict | None = None) -> dict:
+    """Full stage 2; writes solution_graphslam.csv + loop_closures.csv.
+
+    ``preprocessed``: the ``"preprocessed"`` dict from
+    ``run_scanmatcher(return_preprocessed=True)`` — a fused two-stage run
+    reuses stage 1's on-device scan tensors for the loop-closure store
+    instead of re-loading and re-preprocessing every PCD, when the
+    configurations match (voxel None, same method/capacity/scan times);
+    otherwise it is ignored and the store loads from disk as usual.
+    """
     from lidar_slam_arvc_tpu.utils.profiling import CompileCounter
     compiles = CompileCounter()
     with compiles.scope():
-        return _run_graphslam(directory, cfg, progress, compiles)
+        return _run_graphslam(directory, cfg, progress, compiles,
+                              preprocessed)
 
 
-def _run_graphslam(directory, cfg, progress, compiles):
+def _run_graphslam(directory, cfg, progress, compiles, preprocessed=None):
     euroc = EurocDataset(directory)
     params = euroc.read_slam_parameters()
     perform_loop_closing = params.get("perform_loop_closing", True)
@@ -130,11 +139,30 @@ def _run_graphslam(directory, cfg, progress, compiles):
         # keyframemanager.py:60-72), incl. icp2planes ground/non-ground
         # masks and fpfh.
         from lidar_slam_arvc_tpu.keyframes import KeyframeStore
-        store = KeyframeStore(directory, scan_times, voxel_size=None,
-                              method=method, cfg=cfg)
-        # multi-controller: loads only this host's scan block and holds
-        # globally sharded tensors (KeyframeStore.load_and_preprocess)
-        store.load_and_preprocess()
+        import jax as _jax
+        store_reused = (
+            preprocessed is not None
+            and _jax.process_count() == 1
+            and preprocessed.get("voxel_size") is None      # stage-2 regime
+            and preprocessed.get("method") == method
+            and preprocessed.get("capacity") == cfg.capacity
+            and np.array_equal(preprocessed.get("scan_times"), scan_times))
+        if store_reused:
+            # fused in-memory mode: stage 1 already preprocessed these
+            # scans with the identical configuration — reuse its device
+            # tensors instead of re-loading every PCD
+            store = KeyframeStore.from_arrays(
+                preprocessed["points"], preprocessed["mask"],
+                preprocessed["normals"], method=method, cfg=cfg,
+                ground_mask=preprocessed.get("ground_mask"),
+                nonground_mask=preprocessed.get("nonground_mask"))
+            store.scan_times = scan_times
+        else:
+            store = KeyframeStore(directory, scan_times, voxel_size=None,
+                                  method=method, cfg=cfg)
+            # multi-controller: loads only this host's scan block and holds
+            # globally sharded tensors (KeyframeStore.load_and_preprocess)
+            store.load_and_preprocess()
         if mesh is not None and not store.sharded:
             # scan axis sharded over the mesh: each device holds N/D
             # keyframes; candidate-pair gathers become XLA collectives
@@ -147,6 +175,7 @@ def _run_graphslam(directory, cfg, progress, compiles):
     else:
         closer = None
         store_loaded_locally = 0
+        store_reused = False
     store_seconds = time.time() - t_store0
 
     corr_indexes = []
@@ -297,6 +326,7 @@ def _run_graphslam(directory, cfg, progress, compiles):
         else int(cfg.mesh_devices),
         "process_count": int(jax.process_count()),
         "store_scans_loaded_locally": int(store_loaded_locally),
+        "store_reused_stage1": bool(store_reused),
         **compiles.report(),
     }
     write_error = csv_error

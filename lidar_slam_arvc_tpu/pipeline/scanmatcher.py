@@ -490,15 +490,28 @@ def match_consecutive(points, mask, normals, T_seeds: np.ndarray,
 
 
 def run_scanmatcher(directory: str, cfg: IcpConfig | None = None,
-                    progress: bool = True) -> dict:
-    """Full stage 1; writes the scanmatcher CSVs and returns the trajectory."""
+                    progress: bool = True,
+                    return_preprocessed: bool = False) -> dict:
+    """Full stage 1; writes the scanmatcher CSVs and returns the trajectory.
+
+    ``return_preprocessed=True`` additionally returns the preprocessed scan
+    tensors under the ``"preprocessed"`` key so a fused two-stage run
+    (``slam run``, benchmarks) can hand them to
+    ``run_graphslam(preprocessed=...)`` instead of re-loading and
+    re-preprocessing every scan — the in-memory execution mode of the
+    two-stage contract (SURVEY §2.3 row 5; the reference always round-trips
+    through the filesystem, automate.sh:14-15).  Holding the tensors keeps
+    them alive in HBM, hence opt-in.
+    """
     from lidar_slam_arvc_tpu.utils.profiling import CompileCounter
     compiles = CompileCounter()
     with compiles.scope():
-        return _run_scanmatcher(directory, cfg, progress, compiles)
+        return _run_scanmatcher(directory, cfg, progress, compiles,
+                                return_preprocessed)
 
 
-def _run_scanmatcher(directory, cfg, progress, compiles):
+def _run_scanmatcher(directory, cfg, progress, compiles,
+                     return_preprocessed=False):
     euroc = EurocDataset(directory)
     params = euroc.read_scanmatcher_parameters()
     start_index = params.get("start_index", 0)
@@ -647,7 +660,16 @@ def _run_scanmatcher(directory, cfg, progress, compiles):
         multihost_utils.sync_global_devices("scanmatcher_csvs_written")
     if write_error is not None:
         raise write_error
-    return {"scan_times": scan_times, "relative": rel_sm,
-            "global": T_global, "icp_seconds": icp_seconds,
-            "scans_loaded_locally": int(n_loaded_locally),
-            "frames_per_second": profile["frames_per_second"]}
+    out = {"scan_times": scan_times, "relative": rel_sm,
+           "global": T_global, "icp_seconds": icp_seconds,
+           "scans_loaded_locally": int(n_loaded_locally),
+           "frames_per_second": profile["frames_per_second"]}
+    if return_preprocessed and not multihost_mode:
+        # config fingerprint travels with the tensors so run_graphslam can
+        # verify the stage-2 store wants the same preprocessing
+        out["preprocessed"] = {
+            "points": points, "mask": mask, "normals": normals,
+            "ground_mask": g, "nonground_mask": ng,
+            "scan_times": scan_times, "voxel_size": voxel_size,
+            "method": method, "capacity": int(cfg.capacity)}
+    return out

@@ -413,6 +413,61 @@ class TestLoopClosureEndToEnd:
         assert err < 0.15, err
 
 
+class TestFusedStageHandoff:
+    """Fused two-stage mode (SURVEY §2.3 row 5): run_graphslam reuses
+    stage 1's preprocessed device tensors when configurations match,
+    producing the identical solution without re-loading any PCD."""
+
+    def test_fused_matches_reloaded(self, tmp_path):
+        import json
+        d = str(tmp_path / "fused")
+        synthetic.make_dataset(
+            d, n_scans=14, seed=13, radius=5.0, scan_points=2000,
+            scanmatcher_params={"voxel_size": None, "delta_time": 1.0,
+                                "method": "icppointplane",
+                                "start_index": 0},
+            slam_params={"skip_loop_closing": 5, "skip_optimization": 5,
+                         "radius_threshold": 3.0, "distance_backwards": 6.0,
+                         "number_of_triplets_loop_closing": 2})
+        cfg = IcpConfig(raw_capacity=2048, capacity=2048, batch_size=4,
+                        max_iterations=10)
+        out_sm = run_scanmatcher(d, cfg=cfg, progress=False,
+                                 return_preprocessed=True)
+        assert "preprocessed" in out_sm
+        out_fused = run_graphslam(d, cfg=cfg, progress=False,
+                                  preprocessed=out_sm["preprocessed"])
+        with open(f"{d}/robot0/viz/graphslam_profile.json") as f:
+            assert json.load(f)["store_reused_stage1"] is True
+        out_reload = run_graphslam(d, cfg=cfg, progress=False)
+        with open(f"{d}/robot0/viz/graphslam_profile.json") as f:
+            assert json.load(f)["store_reused_stage1"] is False
+        np.testing.assert_allclose(np.asarray(out_fused["solution"]),
+                                   np.asarray(out_reload["solution"]),
+                                   atol=1e-6)
+
+    def test_mismatched_config_falls_back_to_loading(self, tmp_path):
+        import json
+        d = str(tmp_path / "mismatch")
+        synthetic.make_dataset(
+            d, n_scans=8, seed=14, radius=4.0, scan_points=1500,
+            # stage 1 voxelizes -> its tensors are NOT the full-resolution
+            # clouds stage 2 wants; the handoff must be ignored
+            scanmatcher_params={"voxel_size": 0.25, "delta_time": 1.0,
+                                "method": "icppointplane",
+                                "start_index": 0},
+            slam_params={"skip_loop_closing": 4, "skip_optimization": 4,
+                         "radius_threshold": 3.0, "distance_backwards": 6.0,
+                         "number_of_triplets_loop_closing": 2})
+        cfg = IcpConfig(raw_capacity=2048, capacity=1024, batch_size=4,
+                        max_iterations=10)
+        out_sm = run_scanmatcher(d, cfg=cfg, progress=False,
+                                 return_preprocessed=True)
+        run_graphslam(d, cfg=cfg, progress=False,
+                      preprocessed=out_sm["preprocessed"])
+        with open(f"{d}/robot0/viz/graphslam_profile.json") as f:
+            assert json.load(f)["store_reused_stage1"] is False
+
+
 class TestCapacityOverflow:
     """Reference-density safety: capacity truncation is accounted, never
     silent (cloud/voxel.py tail-dropping; VERDICT r2 weak-point 2)."""
