@@ -99,6 +99,12 @@ def main(argv=None):
         out = run_scanmatcher(args.directory, cfg=cfg,
                               return_preprocessed=(args.command == "run"))
         preprocessed = out.get("preprocessed")
+        if preprocessed is not None and \
+                preprocessed.get("voxel_size") is not None:
+            # stage 2 always wants voxel None (full resolution): a
+            # voxelized stage-1 stack can never be reused, so drop the
+            # reference instead of pinning it in HBM through stage 2
+            preprocessed = None
         print(f"scanmatcher: {len(out['relative'])} pairs, "
               f"{out['frames_per_second']:.2f} frames/s (ICP)")
     if args.command in ("graph", "run"):

@@ -81,6 +81,7 @@ def run_graphslam(directory: str, cfg: IcpConfig | None = None,
 
 
 def _run_graphslam(directory, cfg, progress, compiles, preprocessed=None):
+    import jax
     euroc = EurocDataset(directory)
     params = euroc.read_slam_parameters()
     perform_loop_closing = params.get("perform_loop_closing", True)
@@ -139,13 +140,17 @@ def _run_graphslam(directory, cfg, progress, compiles, preprocessed=None):
         # keyframemanager.py:60-72), incl. icp2planes ground/non-ground
         # masks and fpfh.
         from lidar_slam_arvc_tpu.keyframes import KeyframeStore
-        import jax as _jax
         store_reused = (
             preprocessed is not None
-            and _jax.process_count() == 1
+            and jax.process_count() == 1
             and preprocessed.get("voxel_size") is None      # stage-2 regime
             and preprocessed.get("method") == method
             and preprocessed.get("capacity") == cfg.capacity
+            and preprocessed.get("raw_capacity") == cfg.raw_capacity
+            and preprocessed.get("crop") == (
+                float(cfg.min_radius), float(cfg.max_radius),
+                float(cfg.min_height), float(cfg.max_height))
+            and preprocessed.get("normal_radius") == float(cfg.normal_radius)
             and np.array_equal(preprocessed.get("scan_times"), scan_times))
         if store_reused:
             # fused in-memory mode: stage 1 already preprocessed these
@@ -157,6 +162,7 @@ def _run_graphslam(directory, cfg, progress, compiles, preprocessed=None):
                 ground_mask=preprocessed.get("ground_mask"),
                 nonground_mask=preprocessed.get("nonground_mask"))
             store.scan_times = scan_times
+            store.n_loaded_locally = 0     # zero PCDs read from disk
         else:
             store = KeyframeStore(directory, scan_times, voxel_size=None,
                                   method=method, cfg=cfg)
@@ -226,7 +232,6 @@ def _run_graphslam(directory, cfg, progress, compiles, preprocessed=None):
     solution_lidar = graph.get_solution_transforms_lidar()[:n]
     # multi-controller runs share the dataset directory: one writer; a
     # writer failure is deferred so the end-of-stage barrier is reached
-    import jax
     is_writer = jax.process_index() == 0
     csv_error = None
     if is_writer:
@@ -320,10 +325,10 @@ def _run_graphslam(directory, cfg, progress, compiles, preprocessed=None):
         "solver": graph.auto_solver(),
         "method": method,
         "uncertainty_error": uncertainty_error,
-        # record the ACTUAL mesh size, not the 0 "all devices" sentinel
-        # (same fix as stage 1's profile)
-        "mesh_devices": int(mesh.size) if mesh is not None
-        else int(cfg.mesh_devices),
+        # record the ACTUAL mesh size (1 when no mesh was attached — a 0
+        # "all devices" request that resolved to nothing must not be
+        # echoed back as if a mesh had run; same fix as stage 1's profile)
+        "mesh_devices": int(mesh.size) if mesh is not None else 1,
         "process_count": int(jax.process_count()),
         "store_scans_loaded_locally": int(store_loaded_locally),
         "store_reused_stage1": bool(store_reused),

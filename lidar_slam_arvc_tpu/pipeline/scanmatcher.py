@@ -671,5 +671,13 @@ def _run_scanmatcher(directory, cfg, progress, compiles,
             "points": points, "mask": mask, "normals": normals,
             "ground_mask": g, "nonground_mask": ng,
             "scan_times": scan_times, "voxel_size": voxel_size,
-            "method": method, "capacity": int(cfg.capacity)}
+            "method": method,
+            # EVERY cfg field the preprocessing consumed must travel in
+            # the fingerprint, or a stage-2 cfg mismatch would silently
+            # reuse differently cropped/truncated/normal-estimated clouds
+            "capacity": int(cfg.capacity),
+            "raw_capacity": int(cfg.raw_capacity),
+            "crop": (float(cfg.min_radius), float(cfg.max_radius),
+                     float(cfg.min_height), float(cfg.max_height)),
+            "normal_radius": float(cfg.normal_radius)}
     return out
